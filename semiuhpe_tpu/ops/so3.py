@@ -1,0 +1,154 @@
+"""SO(3) utilities: proper SVD, orthogonalization, Euler conventions, metrics.
+
+TPU-first design notes
+----------------------
+The reference forces every 3x3 SVD to the host CPU (/root/reference/src/
+fisher/fisher_utils.py:25-27, src/laplace/rotation_laplace.py:8-10) because
+torch's CUDA SVD was slow/unstable for tiny batched matrices.  On TPU the
+whole point is to *never* leave the device: `jnp.linalg.svd` on batched 3x3
+matrices lowers to an XLA Jacobi sweep that fuses into the surrounding jit
+program, so every function here is pure, jit-safe and batched.
+
+Euler convention (matches the reference's 6DRepNet convention,
+/root/reference/src/utils.py:204-284): R = Rz(roll) @ Ry(yaw) @ Rx(pitch),
+angles ordered (pitch, yaw, roll) = rotations about (x, y, z).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def proper_svd(a: jnp.ndarray):
+    """Batched proper SVD of (..., 3, 3): A = U diag(s) V^T with
+    det(U) = det(V) = +1 and s1 >= s2 >= |s3| (s3 may be negative).
+
+    Mirrors the det-correction convention of the reference
+    (/root/reference/src/fisher/between_bingham_fisher.py:63-82) but runs
+    fully on-device under jit.
+    """
+    u, s, vt = jnp.linalg.svd(a, full_matrices=False)
+    v = jnp.swapaxes(vt, -1, -2)
+    # The correction signs are +/-1 and locally constant: keep them out of
+    # the autodiff graph (the reference wraps them in no_grad similarly).
+    det_u = jax.lax.stop_gradient(jnp.sign(jnp.linalg.det(u)))[..., None]
+    det_v = jax.lax.stop_gradient(jnp.sign(jnp.linalg.det(v)))[..., None]
+    u = u.at[..., :, 2].multiply(det_u)
+    v = v.at[..., :, 2].multiply(det_v)
+    s = s.at[..., 2].multiply((det_u * det_v)[..., 0])
+    return u, s, v
+
+
+def signed_singular_values(a: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3, 3) -> (..., 3) singular values with s3 given the sign of
+    det(U V^T) = sign(det(A)); the matrix-Fisher normalizer argument."""
+    s = jnp.linalg.svd(a, compute_uv=False)
+    sign = jnp.sign(jnp.linalg.det(a))
+    return s.at[..., 2].multiply(sign)
+
+
+def special_procrustes(a: jnp.ndarray) -> jnp.ndarray:
+    """Orthogonalize (..., 3, 3) -> nearest rotation matrix (the matrix-Fisher
+    mode).  Equivalent to the reference's `batch_torch_A_to_R`
+    (/root/reference/src/fisher/fisher_utils.py:39-48), on-device.
+
+    Not differentiated anywhere on the training path (used for pseudo-labels
+    and metrics), so gradients are stopped for stability at degenerate s.
+    """
+    a = jax.lax.stop_gradient(a)
+    u, s, vt = jnp.linalg.svd(a, full_matrices=False)
+    sign = jnp.sign(jnp.linalg.det(u @ vt))
+    u = u.at[..., :, 2].multiply(sign[..., None])
+    return u @ vt
+
+
+def euler_to_matrix(pitch, yaw, roll):
+    """Angles in radians -> (..., 3, 3); R = Rz(roll) Ry(yaw) Rx(pitch).
+
+    Batched jnp twin of the reference's numpy `get_6DRepNet_Rot`
+    (/root/reference/src/utils.py:204-225)."""
+    cx, sx = jnp.cos(pitch), jnp.sin(pitch)
+    cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+    cz, sz = jnp.cos(roll), jnp.sin(roll)
+    r00 = cz * cy
+    r01 = cz * sy * sx - sz * cx
+    r02 = cz * sy * cx + sz * sx
+    r10 = sz * cy
+    r11 = sz * sy * sx + cz * cx
+    r12 = sz * sy * cx - cz * sx
+    r20 = -sy
+    r21 = cy * sx
+    r22 = cy * cx
+    m = jnp.stack([r00, r01, r02, r10, r11, r12, r20, r21, r22], axis=-1)
+    return m.reshape(m.shape[:-1] + (3, 3))
+
+
+def matrix_to_euler(r: jnp.ndarray, full_range: bool = False) -> jnp.ndarray:
+    """(..., 3, 3) -> (..., 3) radians, order (pitch, yaw, roll).
+
+    Behavioral parity with `compute_euler_angles_from_rotation_matrices`
+    (/root/reference/src/utils.py:232-260) including the full-range yaw
+    extension (sign of R[0,0] flips sy so yaw covers (-180, 180)) and the
+    gimbal-lock branch — expressed with `jnp.where` instead of in-place
+    writes so it is jit/vmap safe.
+    """
+    sy = jnp.sqrt(r[..., 0, 0] ** 2 + r[..., 1, 0] ** 2)
+    if full_range:
+        sy = jnp.where(r[..., 0, 0] < 0, -sy, sy)
+    singular = (jnp.abs(sy) < 1e-6).astype(r.dtype)
+
+    x = jnp.arctan2(r[..., 2, 1], r[..., 2, 2])
+    y = jnp.arctan2(-r[..., 2, 0], sy)
+    z = jnp.arctan2(r[..., 1, 0], r[..., 0, 0])
+
+    xs = jnp.arctan2(-r[..., 1, 2], r[..., 1, 1])
+    ys = jnp.arctan2(-r[..., 2, 0], sy)
+    zs = jnp.zeros_like(z)
+
+    out = jnp.stack(
+        [
+            x * (1 - singular) + xs * singular,
+            y * (1 - singular) + ys * singular,
+            z * (1 - singular) + zs * singular,
+        ],
+        axis=-1,
+    )
+    return out
+
+
+def relative_angle(r1: jnp.ndarray, r2: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
+    """Geodesic distance on SO(3) in radians: acos((tr(R1 R2^T) - 1)/2).
+
+    Same metric as pytorch3d's `so3_relative_angle` used by the reference
+    for full-range error (/root/reference/src/agent.py:447-455)."""
+    m = jnp.matmul(r1, jnp.swapaxes(r2, -1, -2))
+    tr = m[..., 0, 0] + m[..., 1, 1] + m[..., 2, 2]
+    cos = jnp.clip((tr - 1.0) / 2.0, -1.0 + eps, 1.0 - eps)
+    return jnp.arccos(cos)
+
+
+def frobenius_rot_distance(r1: jnp.ndarray, r2: jnp.ndarray) -> jnp.ndarray:
+    """||I - R1 R2^T||_F, the DAD-3DHeads benchmark metric
+    (/root/reference/eval.py:87-98)."""
+    m = jnp.eye(3, dtype=r1.dtype) - jnp.matmul(r1, jnp.swapaxes(r2, -1, -2))
+    return jnp.sqrt(jnp.sum(m * m, axis=(-1, -2)))
+
+
+def limit_angle(angle: float, pi: float = 180.0) -> float:
+    """Wrap a scalar angle (degrees) into (-pi, pi]; host-side helper used by
+    DAD eval (parity with /root/reference/src/utils.py:289-300)."""
+    if angle < -pi:
+        k = -2 * (int(angle / pi) // 2)
+        angle = angle + k * pi
+    if angle > pi:
+        k = 2 * ((int(angle / pi) + 1) // 2)
+        angle = angle - k * pi
+    return angle
+
+
+def euler_to_matrix_np(pitch: float, yaw: float, roll: float) -> np.ndarray:
+    """Host-side (numpy) single-sample Euler->R, for dataset label building."""
+    out = euler_to_matrix(jnp.float32(pitch), jnp.float32(yaw), jnp.float32(roll))
+    return np.asarray(out)

@@ -1,0 +1,308 @@
+"""Math-core tests: Fisher normalizer, NLL, entropy, CE, Bingham bridge.
+
+Verification strategy (mirrors the reference's cross-validation patterns,
+SURVEY.md §4): golden values vs scipy Bessel, finite-difference gradcheck of
+the custom VJPs, discrete-grid vs analytic normalizer cross-check, entropy
+monotonicity in concentration.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import scipy.special
+import scipy.integrate
+
+from semiuhpe_tpu.ops import fisher, so3, quaternion, laplace
+from tests.conftest import random_rotations
+
+
+class TestBessel:
+    def test_matches_scipy_ive(self):
+        x = np.linspace(-50, 50, 201).astype(np.float32)
+        ours = np.asarray(fisher.bessel_i0_scaled(jnp.asarray(x)))
+        ref = scipy.special.ive(0, x.astype(np.float64))
+        np.testing.assert_allclose(ours, ref, rtol=3e-6, atol=3e-7)
+
+
+class TestProperSVD:
+    def test_decomposition_and_signs(self, rng):
+        a = rng.normal(size=(16, 3, 3)).astype(np.float32) * 3
+        u, s, v = so3.proper_svd(jnp.asarray(a))
+        u, s, v = np.asarray(u), np.asarray(s), np.asarray(v)
+        recon = u @ (s[..., None] * np.swapaxes(v, -1, -2))
+        np.testing.assert_allclose(recon, a, atol=1e-4)
+        np.testing.assert_allclose(np.linalg.det(u), 1.0, atol=1e-5)
+        np.testing.assert_allclose(np.linalg.det(v), 1.0, atol=1e-5)
+        assert np.all(s[:, 0] >= s[:, 1]) and np.all(s[:, 1] >= np.abs(s[:, 2]))
+
+    def test_procrustes_is_rotation(self, rng):
+        a = rng.normal(size=(8, 3, 3)).astype(np.float32)
+        r = np.asarray(so3.special_procrustes(jnp.asarray(a)))
+        np.testing.assert_allclose(
+            r @ np.swapaxes(r, -1, -2), np.eye(3)[None].repeat(8, 0), atol=1e-5
+        )
+        np.testing.assert_allclose(np.linalg.det(r), 1.0, atol=1e-5)
+
+
+def _log_cf_bruteforce(s):
+    """Independent high-accuracy normalizer: C_F = int I0(...)I0(...)e^{..x}/2.
+
+    Uses scipy fixed_quad on the *unsuppressed* true integrand in float64 —
+    valid for moderate |s| only.
+    """
+    s1, s2, s3 = s
+
+    def integrand(x):
+        f1 = (s2 - s3) / 2 * (1 - x)
+        f2 = (s2 + s3) / 2 * (1 + x)
+        return scipy.special.i0(f1) * scipy.special.i0(f2) * np.exp(s1 * (x - 1))
+
+    val, _ = scipy.integrate.quad(integrand, -1, 1, limit=200)
+    return np.log(0.5 * val) + s1
+
+
+class TestLogNormalizer:
+    @pytest.mark.parametrize(
+        "s",
+        [
+            (0.0, 0.0, 0.0),
+            (1.0, 0.5, -0.2),
+            (5.0, 3.0, 1.0),
+            (10.0, 8.0, -4.0),
+            (25.0, 20.0, 10.0),
+        ],
+    )
+    def test_matches_bruteforce_quadrature(self, s):
+        ours = float(fisher.log_fisher_normalizer_from_s(jnp.asarray([s], jnp.float32))[0])
+        ref = _log_cf_bruteforce(np.asarray(s, np.float64))
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+    def test_zero_concentration_is_zero(self):
+        # C_F(0) = 1 under the normalized Haar measure.
+        out = float(fisher.log_fisher_normalizer_from_s(jnp.zeros((1, 3)))[0])
+        assert abs(out) < 1e-5
+
+    def test_gradcheck_from_s(self):
+        s0 = jnp.asarray([[4.0, 2.5, -1.0], [1.0, 0.7, 0.3]], jnp.float32)
+        g = jax.grad(lambda s: jnp.sum(fisher.log_fisher_normalizer_from_s(s)))(s0)
+        eps = 1e-2
+        for b in range(2):
+            for i in range(3):
+                sp = s0.at[b, i].add(eps)
+                sm = s0.at[b, i].add(-eps)
+                fd = (
+                    float(fisher.log_fisher_normalizer_from_s(sp)[b])
+                    - float(fisher.log_fisher_normalizer_from_s(sm)[b])
+                ) / (2 * eps)
+                np.testing.assert_allclose(float(g[b, i]), fd, rtol=2e-2, atol=2e-3)
+
+    def test_gradcheck_from_a(self, rng):
+        a0 = jnp.asarray(rng.normal(size=(2, 3, 3)).astype(np.float32) * 2)
+        g = jax.grad(lambda a: jnp.sum(fisher.log_fisher_normalizer(a)))(a0)
+        eps = 1e-2
+        fn = lambda a: np.asarray(fisher.log_fisher_normalizer(a))
+        for i in range(3):
+            for j in range(3):
+                fd = (fn(a0.at[:, i, j].add(eps)) - fn(a0.at[:, i, j].add(-eps))) / (2 * eps)
+                np.testing.assert_allclose(np.asarray(g[:, i, j]), fd, rtol=3e-2, atol=3e-3)
+
+    def test_matches_discrete_grid_normalizer(self, rng):
+        """The reference's own cross-validation pattern: the analytic
+        quadrature normalizer must agree with a dense equivolumetric SO(3)
+        grid sum (rotation_laplace.py:119-121)."""
+        a = jnp.asarray(rng.normal(size=(4, 3, 3)).astype(np.float32) * 2)
+        r = jnp.asarray(random_rotations(rng, 4))
+        grids9 = laplace.grids_as_device_matrix(level=3)
+        lp_discrete = np.asarray(laplace.fisher_log_pdf_discrete(a, r, grids9))
+        lp_analytic = np.asarray(fisher.fisher_log_pdf(a, r))
+        np.testing.assert_allclose(lp_discrete, lp_analytic, rtol=2e-2, atol=5e-2)
+
+
+class TestQuaternion:
+    def test_roundtrip(self, rng):
+        r = random_rotations(rng, 64)
+        q = quaternion.matrix_to_quaternion(jnp.asarray(r))
+        r2 = np.asarray(quaternion.quaternion_to_matrix(q))
+        np.testing.assert_allclose(r2, r, atol=1e-5)
+
+    def test_handles_180deg_rotations(self):
+        rs = np.stack([
+            np.diag([1.0, -1.0, -1.0]),
+            np.diag([-1.0, 1.0, -1.0]),
+            np.diag([-1.0, -1.0, 1.0]),
+            np.eye(3),
+        ]).astype(np.float32)
+        q = quaternion.matrix_to_quaternion(jnp.asarray(rs))
+        r2 = np.asarray(quaternion.quaternion_to_matrix(q))
+        np.testing.assert_allclose(r2, rs, atol=1e-5)
+
+
+class TestNLL:
+    def test_nll_minimized_at_gt(self, rng):
+        """NLL(A, R_gt) should be smaller when the mode of A aligns with R."""
+        r = random_rotations(rng, 8)
+        a_good = jnp.asarray(r) * 5.0
+        a_bad = jnp.asarray(np.roll(r, 1, axis=0)) * 5.0
+        nll_good, _ = fisher.fisher_nll(a_good, jnp.asarray(r))
+        nll_bad, _ = fisher.fisher_nll(a_bad, jnp.asarray(r))
+        assert float(jnp.mean(nll_good)) < float(jnp.mean(nll_bad))
+
+    def test_mode_recovery(self, rng):
+        r = random_rotations(rng, 8)
+        noise = rng.normal(size=(8, 3, 3)).astype(np.float32) * 0.05
+        a = jnp.asarray(r * 4.0 + noise)
+        _, mode = fisher.fisher_nll(a, jnp.asarray(r))
+        ang = np.asarray(so3.relative_angle(mode, jnp.asarray(r)))
+        assert np.all(np.degrees(ang) < 5.0)
+
+    def test_grad_flows(self, rng):
+        r = jnp.asarray(random_rotations(rng, 4))
+        a = jnp.asarray(rng.normal(size=(4, 3, 3)).astype(np.float32))
+        g = jax.grad(lambda a_: jnp.mean(fisher.fisher_nll(a_, r)[0]))(a)
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert float(jnp.max(jnp.abs(g))) > 0
+
+
+class TestEntropy:
+    def test_monotone_in_concentration(self, rng):
+        """Higher concentration -> lower (more negative) entropy."""
+        r = jnp.asarray(random_rotations(rng, 6))
+        ents = []
+        for scale in (0.5, 2.0, 8.0, 20.0):
+            ents.append(float(jnp.mean(fisher.fisher_entropy(r * scale))))
+        assert all(ents[i] > ents[i + 1] for i in range(len(ents) - 1))
+
+    def test_uniform_limit(self):
+        """As A -> 0 the distribution -> uniform on SO(3); differential
+        entropy -> log(volume) = 0 under the normalized Haar measure."""
+        a = jnp.full((1, 3, 3), 1e-4)
+        h = float(fisher.fisher_entropy(a)[0])
+        assert abs(h) < 1e-2
+
+    def test_entropy_vs_montecarlo(self, rng):
+        """H = -E[log p]; check against a grid-based expectation."""
+        a = jnp.asarray(random_rotations(rng, 2)) * 3.0
+        grids9 = laplace.grids_as_device_matrix(level=3)
+        grids = grids9.reshape(-1, 3, 3)
+        # E over the equivolumetric grid of -p log p  (normalized Haar).
+        n = grids.shape[0]
+        logps = []
+        for b in range(2):
+            ab = jnp.broadcast_to(a[b], (n, 3, 3))
+            logps.append(np.asarray(fisher.fisher_log_pdf(ab, grids)))
+        h_mc = [-np.mean(np.exp(lp) * lp) for lp in logps]
+        h_ours = np.asarray(fisher.fisher_entropy(a))
+        np.testing.assert_allclose(h_ours, h_mc, rtol=5e-2, atol=5e-2)
+
+
+class TestCrossEntropy:
+    def test_ce_equals_entropy_when_equal(self, rng):
+        a = jnp.asarray(random_rotations(rng, 6)) * 4.0
+        ce = np.asarray(fisher.fisher_cross_entropy(a, a))
+        h = np.asarray(fisher.fisher_entropy(a))
+        np.testing.assert_allclose(ce, h, rtol=1e-3, atol=1e-3)
+
+    def test_ce_geq_entropy(self, rng):
+        """Gibbs inequality: H(p, q) >= H(p)."""
+        a1 = jnp.asarray(random_rotations(rng, 8)) * 4.0
+        a2 = jnp.asarray(random_rotations(rng, 8)) * 3.0
+        ce = np.asarray(fisher.fisher_cross_entropy(a1, a2))
+        h = np.asarray(fisher.fisher_entropy(a1))
+        assert np.all(ce >= h - 1e-3)
+
+    def test_ce_vs_grid_expectation(self, rng):
+        """H(p1, p2) = -E_{p1}[log p2], checked on a dense grid."""
+        a1 = jnp.asarray(random_rotations(rng, 2)) * 4.0
+        a2 = jnp.asarray(random_rotations(rng, 2) + 0.3 * rng.normal(size=(2, 3, 3))).astype(jnp.float32) * 3.0
+        grids9 = laplace.grids_as_device_matrix(level=3)
+        grids = grids9.reshape(-1, 3, 3)
+        n = grids.shape[0]
+        ce_mc = []
+        for b in range(2):
+            lp1 = np.asarray(fisher.fisher_log_pdf(jnp.broadcast_to(a1[b], (n, 3, 3)), grids))
+            lp2 = np.asarray(fisher.fisher_log_pdf(jnp.broadcast_to(a2[b], (n, 3, 3)), grids))
+            ce_mc.append(-np.mean(np.exp(lp1) * lp2))
+        ce = np.asarray(fisher.fisher_cross_entropy(a1, a2))
+        np.testing.assert_allclose(ce, ce_mc, rtol=8e-2, atol=8e-2)
+
+    def test_grad_flows_to_student_only(self, rng):
+        a1 = jnp.asarray(random_rotations(rng, 4)) * 4.0
+        a2 = jnp.asarray(rng.normal(size=(4, 3, 3)).astype(np.float32) * 2)
+        g2 = jax.grad(lambda a: jnp.mean(fisher.fisher_cross_entropy(a1, a)))(a2)
+        assert np.all(np.isfinite(np.asarray(g2)))
+        assert float(jnp.max(jnp.abs(g2))) > 0
+        g1 = jax.grad(lambda a: jnp.mean(fisher.fisher_cross_entropy(a, a2)))(a1)
+        np.testing.assert_allclose(np.asarray(g1), 0.0, atol=1e-7)
+
+
+class TestLaplace:
+    def test_grid_is_rotations(self):
+        g = laplace.so3_healpix_grid(level=2)
+        assert g.shape == (4608, 3, 3)
+        np.testing.assert_allclose(g @ np.swapaxes(g, -1, -2), np.eye(3)[None].repeat(len(g), 0), atol=1e-5)
+        np.testing.assert_allclose(np.linalg.det(g), 1.0, atol=1e-5)
+
+    def test_grid_covers_so3(self):
+        """Every random rotation should have a grid neighbor within the
+        nominal cell radius (~2 * (pi^2/N)^(1/3))."""
+        rng = np.random.default_rng(1)
+        targets = random_rotations(rng, 16)
+        g = laplace.so3_healpix_grid(level=2).reshape(-1, 9)
+        tr = targets.reshape(-1, 9) @ g.T  # cos-angle-ish similarity
+        max_tr = tr.max(axis=1)
+        ang = np.degrees(np.arccos(np.clip((max_tr - 1) / 2, -1, 1)))
+        assert np.all(ang < 15.0)
+
+    def test_laplace_pdf_normalizes(self, rng):
+        """Integral of exp(log_pdf) over the grid (Haar weight 1/N) = 1."""
+        a = jnp.asarray(random_rotations(rng, 2)) * 3.0
+        grids9 = laplace.grids_as_device_matrix(level=2)
+        grids = grids9.reshape(-1, 3, 3)
+        n = grids.shape[0]
+        for b in range(2):
+            lp = np.asarray(
+                laplace.laplace_log_pdf(jnp.broadcast_to(a[b], (n, 3, 3)), grids, grids9)
+            )
+            total = np.mean(np.exp(lp))
+            np.testing.assert_allclose(total, 1.0, rtol=5e-2)
+
+    def test_nll_decreases_toward_gt(self, rng):
+        r = random_rotations(rng, 8)
+        grids9 = laplace.grids_as_device_matrix(level=2)
+        nll_good, _ = laplace.laplace_nll(jnp.asarray(r) * 5.0, jnp.asarray(r), grids9)
+        nll_bad, _ = laplace.laplace_nll(jnp.asarray(np.roll(r, 1, 0)) * 5.0, jnp.asarray(r), grids9)
+        assert float(jnp.mean(nll_good)) < float(jnp.mean(nll_bad))
+
+    def test_grad_flows(self, rng):
+        r = jnp.asarray(random_rotations(rng, 4))
+        grids9 = laplace.grids_as_device_matrix(level=2)
+        a = jnp.asarray(rng.normal(size=(4, 3, 3)).astype(np.float32) * 2)
+        g = jax.grad(lambda a_: jnp.mean(laplace.laplace_nll(a_, r, grids9)[0]))(a)
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestEuler:
+    def test_roundtrip_front_range(self, rng):
+        pitch = rng.uniform(-1.2, 1.2, 32).astype(np.float32)
+        yaw = rng.uniform(-1.4, 1.4, 32).astype(np.float32)
+        roll = rng.uniform(-1.2, 1.2, 32).astype(np.float32)
+        r = so3.euler_to_matrix(jnp.asarray(pitch), jnp.asarray(yaw), jnp.asarray(roll))
+        out = np.asarray(so3.matrix_to_euler(r))
+        np.testing.assert_allclose(out[:, 0], pitch, atol=1e-4)
+        np.testing.assert_allclose(out[:, 1], yaw, atol=1e-4)
+        np.testing.assert_allclose(out[:, 2], roll, atol=1e-4)
+
+    def test_full_range_yaw(self):
+        """Yaw beyond +/-90 deg is recovered with full_range=True."""
+        yaw = jnp.asarray([2.5], jnp.float32)  # ~143 deg
+        r = so3.euler_to_matrix(jnp.asarray([0.1]), yaw, jnp.asarray([-0.2]))
+        out = np.asarray(so3.matrix_to_euler(r, full_range=True))
+        np.testing.assert_allclose(out[0, 1], 2.5, atol=1e-4)
+
+    def test_relative_angle(self, rng):
+        r = random_rotations(rng, 8)
+        ang = np.asarray(so3.relative_angle(jnp.asarray(r), jnp.asarray(r)))
+        np.testing.assert_allclose(ang, 0.0, atol=2e-3)
+        fro = np.asarray(so3.frobenius_rot_distance(jnp.asarray(r), jnp.asarray(r)))
+        np.testing.assert_allclose(fro, 0.0, atol=1e-3)
