@@ -1,0 +1,101 @@
+"""EfficientNetV2 S/M/L — the paper's main backbone family.
+
+Capability parity with /root/reference/src/networks.py:301-331 (torchvision
+efficientnet_v2_s with a 1280->512->128->9 regression head).  Stage configs
+follow the EfficientNetV2 paper (arXiv 2104.00298) / torchvision.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from semiuhpe_tpu.models.layers import ConvBN, FusedMBConv, MBConv, RegressionHead
+
+# (block, expand, kernel, stride, channels, layers, use_se)
+_CONFIGS = {
+    "s": dict(
+        stem=24,
+        stages=[
+            ("fused", 1, 3, 1, 24, 2, False),
+            ("fused", 4, 3, 2, 48, 4, False),
+            ("fused", 4, 3, 2, 64, 4, False),
+            ("mb", 4, 3, 2, 128, 6, True),
+            ("mb", 6, 3, 1, 160, 9, True),
+            ("mb", 6, 3, 2, 256, 15, True),
+        ],
+    ),
+    "m": dict(
+        stem=24,
+        stages=[
+            ("fused", 1, 3, 1, 24, 3, False),
+            ("fused", 4, 3, 2, 48, 5, False),
+            ("fused", 4, 3, 2, 80, 5, False),
+            ("mb", 4, 3, 2, 160, 7, True),
+            ("mb", 6, 3, 1, 176, 14, True),
+            ("mb", 6, 3, 2, 304, 18, True),
+            ("mb", 6, 3, 1, 512, 5, True),
+        ],
+    ),
+    "l": dict(
+        stem=32,
+        stages=[
+            ("fused", 1, 3, 1, 32, 4, False),
+            ("fused", 4, 3, 2, 64, 7, False),
+            ("fused", 4, 3, 2, 96, 7, False),
+            ("mb", 4, 3, 2, 192, 10, True),
+            ("mb", 6, 3, 1, 224, 19, True),
+            ("mb", 6, 3, 2, 384, 25, True),
+            ("mb", 6, 3, 1, 640, 7, True),
+        ],
+    ),
+}
+
+
+class EfficientNetV2(nn.Module):
+    variant: str = "s"
+    head_hidden: Sequence[int] = (512, 128)
+    num_outputs: int = 9
+    drop_path_rate: float = 0.2
+    dtype: Any = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        cfg = _CONFIGS[self.variant]
+        x = ConvBN(cfg["stem"], 3, 2, activation=nn.silu, dtype=self.dtype,
+                   axis_name=self.axis_name)(x, train)
+        total_blocks = sum(s[5] for s in cfg["stages"])
+        block_id = 0
+        for kind, expand, kernel, stride, ch, layers, use_se in cfg["stages"]:
+            for j in range(layers):
+                rate = self.drop_path_rate * block_id / total_blocks
+                s = stride if j == 0 else 1
+                if kind == "fused":
+                    x = FusedMBConv(ch, expand, kernel, s, drop_rate=rate,
+                                    dtype=self.dtype, axis_name=self.axis_name)(x, train)
+                else:
+                    x = MBConv(ch, expand, kernel, s,
+                               se_ratio=0.25 if use_se else 0.0, drop_rate=rate,
+                               dtype=self.dtype, axis_name=self.axis_name)(x, train)
+                block_id += 1
+        x = ConvBN(1280, 1, 1, activation=nn.silu, dtype=self.dtype,
+                   axis_name=self.axis_name)(x, train)
+        x = jnp.mean(x, axis=(1, 2))
+        x = RegressionHead(self.head_hidden, self.num_outputs, dropout=0.2,
+                           dtype=self.dtype, axis_name=self.axis_name)(x, train)
+        return x
+
+
+def efficientnetv2_s(**kw):
+    return EfficientNetV2(variant="s", **kw)
+
+
+def efficientnetv2_m(**kw):
+    return EfficientNetV2(variant="m", **kw)
+
+
+def efficientnetv2_l(**kw):
+    return EfficientNetV2(variant="l", **kw)

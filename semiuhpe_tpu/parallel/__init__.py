@@ -1,0 +1,3 @@
+from semiuhpe_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh, shard_batch, replicate, jit_step,
+)

@@ -1,0 +1,65 @@
+"""Device mesh + sharding helpers (pjit/ICI data parallelism).
+
+The reference trains on exactly one GPU (`SURVEY.md` §2.10); scaling here
+is pure-JAX SPMD: a 1-D ``data`` mesh over all local devices, batches
+sharded on the leading axis, parameters/optimizer state replicated.  All
+steps are written as *global-view* programs, so XLA inserts the gradient
+all-reduce (over ICI on a real slice) automatically — there is no manual
+psum and no NCCL-style process group to manage.
+
+BatchNorm note: under global-view jit the batch statistics are computed
+over the *global* batch (XLA lowers the mean/var reductions to
+cross-device collectives), which matches the single-device reference
+semantics exactly — unlike per-replica BN in pmap-style code.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices: Optional[Sequence] = None, axis: str = "data") -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any, axis: str = "data") -> Any:
+    """Place a host batch onto the mesh, sharded along the leading dim."""
+    sharding = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def jit_step(step_fn, mesh: Mesh, n_batch_args: int = 1, n_scalar_args: int = 0,
+             axis: str = "data", donate_state: bool = True):
+    """jit a ``step(state, *batches, *scalars) -> (state, metrics)`` function
+    with state replicated and batches sharded along the data axis.
+
+    ``donate_state=True`` lets XLA update parameters in place (halves peak
+    HBM for the state).
+    """
+    state_s = replicated(mesh)
+    batch_s = batch_sharding(mesh, axis)
+    in_shardings = (state_s,) + (batch_s,) * n_batch_args + (state_s,) * n_scalar_args
+    return jax.jit(
+        step_fn,
+        in_shardings=in_shardings,
+        donate_argnums=(0,) if donate_state else (),
+    )

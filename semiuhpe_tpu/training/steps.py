@@ -1,0 +1,302 @@
+"""Pure train/eval step functions — the heart of the SSL framework.
+
+Functional re-design of the reference SSLAgent
+(/root/reference/src/agent.py:61-274).  Every step is a pure function
+``(state, batch, ...) -> (state, metrics)`` meant to be jit/pjit-compiled
+once and executed entirely on device:
+
+* supervised NLL (matrix-Fisher or Rotation-Laplace) on the labeled batch;
+* EMA teacher update with the warmup rule ``alpha = min(1 - 1/(t+1),
+  decay)`` applied *before* the gradient step (agent.py:194-200,277-284);
+* teacher scoring of weakly-augmented unlabeled crops with the
+  rotation-consistency adjustment for pose-altering strong rotation
+  (agent.py:110-120, incl. the 300WLP rot-180 conjugation);
+* on-device CutOut/CutMix of the strong crops (agent.py:125-126);
+* Fisher-entropy confidence masking at ``conf_thres`` and the Fisher-CE
+  (or NLL) consistency loss scaled by mask ratio so it is a mean over the
+  full unlabeled batch (agent.py:148-168) — expressed as a masked global
+  sum, which under pjit shards correctly with no manual psum.
+
+Unlike the reference there is no CPU round-trip anywhere: SVDs, the Fisher
+normalizer quadrature, entropies and CE all run inside the same XLA
+program as the backbone.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from semiuhpe_tpu.ops import fisher, laplace, so3
+from semiuhpe_tpu.ops.augment import random_cutmix, random_cutout
+from semiuhpe_tpu.training.state import TrainState, make_optimizer
+
+ROT_180 = jnp.asarray([[1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]])
+
+
+def error_degrees(pred_rot, gt_rot, gt_euler=None):
+    """Per-sample error in degrees: Euler MAE when Euler GT exists (front
+    range), geodesic SO(3) angle otherwise (agent.py:447-455)."""
+    if gt_euler is None:
+        return jnp.degrees(so3.relative_angle(pred_rot, gt_rot))
+    pd_euler = jnp.degrees(so3.matrix_to_euler(pred_rot, full_range=False))
+    return jnp.mean(jnp.abs(pd_euler - gt_euler), axis=-1)
+
+
+def _supervised_loss(net, params, batch_stats, batch, rng, distribution, grids9,
+                     train=True):
+    """Returns (loss, (per-sample nll, pred, pred_orth, new_batch_stats))."""
+    variables = {"params": params, "batch_stats": batch_stats}
+    if train:
+        out, mutated = net.apply(variables, batch["img"], train=True,
+                                 rngs={"dropout": rng}, mutable=["batch_stats"])
+        new_stats = mutated["batch_stats"]
+    else:
+        out = net.apply(variables, batch["img"], train=False)
+        new_stats = batch_stats
+    if distribution == "RotationLaplace":
+        losses, pred_orth = laplace.laplace_nll(out, batch["rot_mat"], grids9)
+    else:
+        losses, pred_orth = fisher.fisher_nll(out, batch["rot_mat"], overreg=1.025)
+    return jnp.mean(losses), (out, pred_orth, new_stats)
+
+
+def make_supervised_step(net, lr: float, distribution: str = "matrixFisher",
+                         grids9=None) -> Callable:
+    """Stage-1 supervised step (reference train_func_s1, agent.py:254-266)."""
+    tx = make_optimizer(lr)
+
+    def step(state: TrainState, batch, rng) -> tuple[TrainState, dict]:
+        def loss_fn(params):
+            return _supervised_loss(net, params, state.batch_stats, batch, rng,
+                                    distribution, grids9)
+
+        (loss, (out, pred_orth, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        err = error_degrees(pred_orth, batch["rot_mat"], batch.get("euler_angles"))
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  batch_stats=new_stats, opt_state=opt_state)
+        metrics = {"loss": loss, "err_deg": jnp.mean(err),
+                   "lr": opt_state.hyperparams["learning_rate"]}
+        return new_state, metrics
+
+    return step
+
+
+def ema_update(params, ema_params, alpha):
+    return jax.tree_util.tree_map(
+        lambda e, p: e * alpha + p * (1.0 - alpha), ema_params, params)
+
+
+def adjust_teacher_prediction(pred_a, aug_rot_mat, labeled_set: str):
+    """Rotation-consistency adjustment of the teacher Fisher parameter for
+    pose-altering strong rotation (agent.py:110-120).
+
+    DAD3DHeads convention: A' = R_aug A.  300WLP convention (labels live in
+    a flipped frame): A' = A R_180 R_aug^T R_180.
+    """
+    a = pred_a.reshape(-1, 3, 3)
+    if labeled_set == "300WLP":
+        adj = ROT_180 @ jnp.swapaxes(aug_rot_mat, -1, -2) @ ROT_180
+        out = jnp.matmul(a, adj)
+    else:
+        out = jnp.matmul(aug_rot_mat, a)
+    return out.reshape(pred_a.shape)
+
+
+def make_ssl_step(
+    net,
+    lr: float,
+    *,
+    distribution: str = "matrixFisher",
+    type_unsuper: str = "ce",
+    labeled_set: str = "300WLP",
+    rotate_aug: bool = False,
+    cutout_aug: bool = False,
+    cutmix_aug: bool = False,
+    is_ema: bool = True,
+    eman: bool = False,
+    ema_decay: float = 0.999,
+    stage1_iteration: int = 0,
+    grids9=None,
+) -> Callable:
+    """Stage-2 SSL step (reference train_func + forward, agent.py:61-218).
+
+    Returned callable: ``step(state, batch, ulb_batch, rng, conf_thres,
+    ssl_lambda) -> (state, metrics)``; conf_thres/ssl_lambda are traced
+    scalars so the dynamic threshold never retraces.
+    """
+    tx = make_optimizer(lr)
+
+    def step(state: TrainState, batch, ulb_batch, rng, conf_thres, ssl_lambda):
+        rng_teacher, rng_student, rng_sup, rng_cutout, rng_cutmix = (
+            jax.random.split(rng, 5))
+
+        # --- EMA teacher update (before fwd/bwd, warmup keyed to stage-2 iter).
+        stage2_iter = state.step - stage1_iteration
+        if is_ema:
+            alpha = jnp.minimum(
+                1.0 - 1.0 / (stage2_iter.astype(jnp.float32) + 1.0), ema_decay)
+        else:
+            alpha = 0.0
+        ema_params = ema_update(state.params, state.ema_params, alpha)
+        if eman:
+            # EMAN (agent.py:286-296): EMA the full state incl. BN statistics.
+            ema_batch_stats = ema_update(state.batch_stats,
+                                         state.ema_batch_stats, alpha)
+        else:
+            ema_batch_stats = state.ema_batch_stats
+
+        # --- Teacher scores weak unlabeled crops (train-mode BN, stats
+        # tracked on the teacher's own statistics like the reference's
+        # ema_net.train() forward).
+        pred_weak, t_mutated = net.apply(
+            {"params": ema_params, "batch_stats": ema_batch_stats},
+            ulb_batch["img"], train=True, rngs={"dropout": rng_teacher},
+            mutable=["batch_stats"])
+        pred_weak = jax.lax.stop_gradient(pred_weak)
+        ema_batch_stats = t_mutated["batch_stats"]
+
+        if rotate_aug:
+            pred_weak_adj = adjust_teacher_prediction(
+                pred_weak, ulb_batch["aug_rot_mat"], labeled_set)
+        else:
+            pred_weak_adj = pred_weak
+
+        # --- Strong-view occlusion augs, on device.
+        ulb_strong = ulb_batch["img_strong"]
+        if cutout_aug:
+            ulb_strong = random_cutout(rng_cutout, ulb_strong, 3)
+        if cutmix_aug:
+            ulb_strong = random_cutmix(rng_cutmix, ulb_strong, 3)
+
+        # --- Confidence mask from teacher Fisher entropy.
+        entropy = fisher.fisher_entropy(pred_weak)
+        mask = (entropy < conf_thres).astype(jnp.float32)
+        mask_ratio = jnp.mean(mask)
+        n_ulb = pred_weak.shape[0]
+
+        pseudo_rot = so3.special_procrustes(pred_weak_adj.reshape(-1, 3, 3))
+
+        def loss_fn(params):
+            sup_loss, (out, pred_orth, new_stats) = _supervised_loss(
+                net, params, state.batch_stats, batch, rng_sup, distribution,
+                grids9)
+            pred_strong, s_mutated = net.apply(
+                {"params": params, "batch_stats": new_stats}, ulb_strong,
+                train=True, rngs={"dropout": rng_student},
+                mutable=["batch_stats"])
+            if type_unsuper == "ce":
+                per_sample = fisher.fisher_cross_entropy(pred_weak_adj, pred_strong)
+            else:  # 'nll'
+                if distribution == "RotationLaplace":
+                    per_sample, _ = laplace.laplace_nll(
+                        pred_strong, pseudo_rot, grids9)
+                else:
+                    per_sample, _ = fisher.fisher_nll(
+                        pred_strong, pseudo_rot, overreg=1.025)
+            # mean-over-masked * mask_ratio  ==  masked-sum / batch size
+            # (agent.py:163-168) — shard-safe as a plain global sum.
+            unsuper_loss = jnp.sum(per_sample * mask) / n_ulb
+            total = sup_loss + ssl_lambda * unsuper_loss
+            aux = (sup_loss, unsuper_loss, pred_orth, pred_strong,
+                   s_mutated["batch_stats"])
+            return total, aux
+
+        (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        sup_loss, unsuper_loss, pred_orth, pred_strong, new_stats = aux
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        err = error_degrees(pred_orth, batch["rot_mat"], batch.get("euler_angles"))
+        metrics = {
+            "loss": sup_loss,
+            "unsuper_loss": unsuper_loss,
+            "loss_all": total,
+            "err_deg": jnp.mean(err),
+            "entropy_mean": jnp.mean(entropy),
+            "entropy_std": jnp.std(entropy),
+            "mask_ratio": mask_ratio,
+            "lr": opt_state.hyperparams["learning_rate"],
+        }
+
+        # Diagnostics vs unlabeled GT when present (agent.py:171-181).
+        if "rot_mat" in ulb_batch:
+            weak_rot = so3.special_procrustes(pred_weak_adj.reshape(-1, 3, 3))
+            e_all = error_degrees(weak_rot, ulb_batch["rot_mat"])
+            metrics["err_weakAll_gt"] = jnp.mean(e_all)
+            metrics["err_weakPseudo_gt"] = (
+                jnp.sum(e_all * mask) / jnp.maximum(jnp.sum(mask), 1.0))
+        strong_rot = so3.special_procrustes(pred_strong.reshape(-1, 3, 3))
+        e_sp = error_degrees(strong_rot, pseudo_rot)
+        metrics["err_strongSuper_pseudo"] = (
+            jnp.sum(e_sp * mask) / jnp.maximum(jnp.sum(mask), 1.0))
+
+        new_state = state.replace(
+            step=state.step + 1, params=params, batch_stats=new_stats,
+            ema_params=ema_params, ema_batch_stats=ema_batch_stats,
+            opt_state=opt_state)
+        return new_state, metrics
+
+    return step
+
+
+def make_eval_step(net, distribution: str = "matrixFisher", grids9=None,
+                   use_ema: bool = False) -> Callable:
+    """Validation step (reference val_func/val_func_s1, agent.py:220-274):
+    eval-mode forward, NLL, entropy mask ratio, per-sample errors."""
+
+    def step(state: TrainState, batch, conf_thres):
+        params = state.ema_params if use_ema else state.params
+        stats = state.ema_batch_stats if use_ema else state.batch_stats
+        out = net.apply({"params": params, "batch_stats": stats},
+                        batch["img"], train=False)
+        if distribution == "RotationLaplace":
+            losses, pred_orth = laplace.laplace_nll(out, batch["rot_mat"], grids9)
+        else:
+            losses, pred_orth = fisher.fisher_nll(out, batch["rot_mat"], overreg=1.025)
+        err = error_degrees(pred_orth, batch["rot_mat"], batch.get("euler_angles"))
+        entropy = fisher.fisher_entropy(out)
+        mask = (entropy < conf_thres).astype(jnp.float32)
+        return {
+            "loss": jnp.mean(losses),
+            "err_deg": err,
+            "pred": out,
+            "pred_orth": pred_orth,
+            "entropy": entropy,
+            "mask_ratio": jnp.mean(mask),
+        }
+
+    return step
+
+
+def make_entropy_fn(net, use_ema: bool = True) -> Callable:
+    """Teacher entropy of a weak batch — the building block of the dynamic
+    threshold sweep (reference compute_dynamic_entropy_threshold,
+    agent.py:357-417); the global sort/quantile happens on the host over
+    gathered entropies."""
+
+    def entropies(state: TrainState, img):
+        params = state.ema_params if use_ema else state.params
+        stats = state.ema_batch_stats if use_ema else state.batch_stats
+        out = net.apply({"params": params, "batch_stats": stats}, img, train=False)
+        return fisher.fisher_entropy(out)
+
+    return entropies
+
+
+def dynamic_entropy_threshold(entropy_fn, state, batches, left_ratio: float) -> float:
+    """Full teacher pass over the unlabeled set; threshold = left_ratio
+    quantile of the sorted entropies (keep the most-confident fraction)."""
+    import numpy as np
+
+    all_e = [np.asarray(entropy_fn(state, b["img"])) for b in batches]
+    e = np.sort(np.concatenate(all_e))
+    index = int(len(e) * left_ratio)
+    return float(e[min(index, len(e) - 1)])
