@@ -1,0 +1,228 @@
+"""Two-stage SSL training CLI.
+
+Parity with /root/reference/train.py: stage-1 supervised until
+``stage1_iteration``; at the boundary reload the best checkpoint and drop
+LR x0.1; stage-2 FixMatch-style SSL with the EMA teacher; per
+``val_frequency`` evaluation of student (and teacher in stage 2) with
+best-checkpoint tracking by mean test error; per ``save_frequency``
+dynamic entropy-threshold recompute over the whole unlabeled set.
+
+TPU-native execution: one jit-compiled step per stage over a data-sharded
+device mesh, host loaders prefetching batches onto the mesh, orbax
+checkpoints.
+
+Usage:
+    python -m semiuhpe_tpu.cli.train --config settings/300WLP_AFLW2000.yml \
+        --network effinetv2 --ss_ratio 0.2 ...
+Synthetic smoke run (no datasets needed):
+    python -m semiuhpe_tpu.cli.train --train_labeled synthetic \
+        --train_unlabeled synthetic --test_set synthetic \
+        --stage1_iteration 50 --max_iteration 100 ...
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semiuhpe_tpu.config import get_config
+from semiuhpe_tpu.data import Loader, cycle
+from semiuhpe_tpu.data.datasets import get_dataset
+from semiuhpe_tpu.models import build_network
+from semiuhpe_tpu.ops.laplace import grids_as_device_matrix
+from semiuhpe_tpu.parallel import make_mesh, jit_step, shard_batch, replicate
+from semiuhpe_tpu.training import steps as steps_mod
+from semiuhpe_tpu.training.checkpoints import load_checkpoint, save_checkpoint
+from semiuhpe_tpu.training.loggingx import TextLogger, Throughput
+from semiuhpe_tpu.training.state import create_train_state, set_learning_rate
+
+
+def setup_compile_cache():
+    # Per-platform cache dir: CPU must not load AOT artifacts compiled for a
+    # different host target (SIGILL risk), and vice versa.
+    cache = os.path.expanduser(
+        f"~/.cache/jax_compilation_cache_{jax.default_backend()}")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+
+def pad_to(batch, size):
+    """Pad a possibly-short batch to ``size`` rows; returns (batch, n_valid)."""
+    n = len(next(iter(batch.values())))
+    if n == size:
+        return batch, n
+    out = {}
+    for k, v in batch.items():
+        pad = np.repeat(v[-1:], size - n, axis=0)
+        out[k] = np.concatenate([v, pad], 0)
+    return out, n
+
+
+def evaluate(eval_step, state, test_loader, mesh, conf_thres, batch_size):
+    losses, errs, mask_ratios = [], [], []
+    for batch in test_loader:
+        batch, n_valid = pad_to(batch, batch_size)
+        out = eval_step(state, shard_batch(mesh, batch), jnp.float32(conf_thres))
+        losses.append(float(out["loss"]))
+        errs.append(np.asarray(out["err_deg"])[:n_valid])
+        mask_ratios.append(float(out["mask_ratio"]))
+    errs = np.concatenate(errs)
+    return float(np.mean(losses)), float(errs.mean()), float(np.mean(mask_ratios))
+
+
+def main(argv=None):
+    setup_compile_cache()
+    config = get_config("train", argv)
+    dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+
+    logger = TextLogger(config.log_dir)
+    logger.line(f"devices: {jax.devices()}")
+    mesh = make_mesh()
+    n_dev = len(mesh.devices.ravel())
+
+    # ----- data -----
+    labeled_phase = "train_all" if config.ss_ratio >= 1.0 else "train"
+    train_set = get_dataset(config.train_labeled, labeled_phase, config)
+    test_set = get_dataset(config.test_set, "test", config)
+    batch = _round_up(config.batch_size, n_dev)
+    config.eval_batch_size = _round_up(config.eval_batch_size, n_dev)
+    train_loader = Loader(train_set, batch, shuffle=True, drop_last=True,
+                          num_workers=config.num_workers)
+    test_loader = Loader(test_set, config.eval_batch_size, shuffle=False,
+                         drop_last=False, num_workers=config.num_workers)
+
+    do_ssl = config.max_iteration > config.stage1_iteration
+    if do_ssl:
+        ulb_set = get_dataset(config.train_unlabeled, "ulb_train", config)
+        ulb_batch = _round_up(round(config.batch_size * config.ulb_batch_ratio), n_dev)
+        ulb_loader = Loader(ulb_set, ulb_batch, shuffle=True, drop_last=True,
+                            num_workers=config.num_workers)
+        ulb_iter = cycle(ulb_loader)
+
+    # ----- model/state -----
+    net = build_network(config.network, num_outputs=config.num_classes, dtype=dtype)
+    grids9 = (grids_as_device_matrix(2) if config.distribution == "RotationLaplace"
+              else None)
+    with jax.default_device(jax.devices()[0]):
+        state = jax.jit(
+            lambda k: create_train_state(net, k, (224, 224, 3), config.lr, dtype)
+        )(jax.random.key(config.seed))
+    state = replicate(mesh, state)
+
+    # ----- steps -----
+    sup_step = jit_step(
+        steps_mod.make_supervised_step(net, config.lr, config.distribution, grids9),
+        mesh, n_batch_args=1, n_scalar_args=1)
+    ssl_step = jit_step(
+        steps_mod.make_ssl_step(
+            net, config.lr, distribution=config.distribution,
+            type_unsuper=config.type_unsuper, labeled_set=config.train_labeled,
+            rotate_aug=config.rotate_aug, cutout_aug=config.cutout_aug,
+            cutmix_aug=config.cutmix_aug, is_ema=config.is_ema, eman=config.eman,
+            ema_decay=config.ema_decay, stage1_iteration=config.stage1_iteration,
+            grids9=grids9),
+        mesh, n_batch_args=2, n_scalar_args=3)
+    eval_student = jax.jit(steps_mod.make_eval_step(net, config.distribution, grids9,
+                                                    use_ema=False))
+    eval_teacher = jax.jit(steps_mod.make_eval_step(net, config.distribution, grids9,
+                                                    use_ema=True))
+    entropy_fn = jax.jit(steps_mod.make_entropy_fn(net, use_ema=True))
+
+    # ----- resume -----
+    if config.cont_ckpt:
+        state = load_checkpoint(config.model_dir, config.resolve_ckpt(config.cont_ckpt),
+                                state)
+        state = replicate(mesh, state)
+        logger.line(f"resumed from {config.cont_ckpt} at iter {int(state.step)}")
+
+    best_mean_error = 360.0
+    conf_thres = config.conf_thres
+    meter = Throughput()
+    epoch = 0
+
+    while int(jax.device_get(state.step)) < config.max_iteration:
+        for data in train_loader:
+            it = int(jax.device_get(state.step))
+            if it >= config.max_iteration:
+                break
+
+            # Stage boundary: reload best, drop LR x0.1 (train.py:104-109).
+            if it == config.stage1_iteration and do_ssl:
+                step_now = state.step
+                try:
+                    state = load_checkpoint(config.model_dir, "best", state)
+                    state = state.replace(step=step_now)
+                    state = replicate(mesh, state)
+                    logger.line("stage boundary: reloaded best checkpoint")
+                except FileNotFoundError:
+                    logger.line("stage boundary: no best checkpoint to reload")
+                state = set_learning_rate(state, config.lr * 0.1)
+
+            s1 = it < config.stage1_iteration
+            rng = jax.random.key(config.seed * 1_000_003 + it)
+            if s1:
+                sdata = shard_batch(mesh, data)
+                state, metrics = sup_step(state, sdata, rng)
+                n_imgs = batch
+            else:
+                ulb_data = next(ulb_iter)
+                state, metrics = ssl_step(
+                    state, shard_batch(mesh, data), shard_batch(mesh, ulb_data),
+                    rng, jnp.float32(conf_thres), jnp.float32(config.SSL_lambda))
+                n_imgs = batch + ulb_batch
+            rate = meter.tick(n_imgs)
+
+            it += 1
+            if it % config.log_frequency == 0:
+                m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                m["imgs_per_sec"] = rate
+                logger.log("train" if s1 else "train_SSL", it, m)
+                print(f"[{epoch:03d}|{it:07d}] " +
+                      " ".join(f"{k}:{v:.4f}" for k, v in m.items()), flush=True)
+
+            if it % config.val_frequency == 0:
+                loss, err, mratio = evaluate(eval_student, state, test_loader,
+                                             mesh, conf_thres, config.eval_batch_size)
+                logger.log("test", it, {"loss": loss, "err_mean": err,
+                                        "mask_ratio": mratio})
+                if err < best_mean_error:
+                    best_mean_error = err
+                    save_checkpoint(config.model_dir, "best",
+                                    jax.device_get(state))
+                    logger.line(f"saved best (err {err:.4f})")
+                if not s1:
+                    loss_e, err_e, mratio_e = evaluate(
+                        eval_teacher, state, test_loader, mesh, conf_thres,
+                        config.eval_batch_size)
+                    logger.log("test_ema", it, {"loss": loss_e, "err_mean": err_e,
+                                                "mask_ratio": mratio_e})
+
+            if (it % config.save_frequency == 0 and do_ssl
+                    and it >= config.stage1_iteration):
+                if config.dynamic_thres:
+                    conf_thres = steps_mod.dynamic_entropy_threshold(
+                        lambda st, img: entropy_fn(st, jax.device_put(img)),
+                        state, iter(ulb_loader), config.left_ratio)
+                    logger.log("settings", it, {"conf_thres": conf_thres})
+
+        epoch += 1
+
+    save_checkpoint(config.model_dir, "last", jax.device_get(state))
+    logger.line(f"done at iter {int(jax.device_get(state.step))}, "
+                f"best err {best_mean_error:.4f}")
+    return best_mean_error
+
+
+def _round_up(n: int, k: int) -> int:
+    return int(-(-int(n) // k) * k)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

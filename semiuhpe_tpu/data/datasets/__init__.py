@@ -1,0 +1,45 @@
+"""Dataset registry — the counterpart of the reference's per-dataset
+``get_dataloader_<NAME>`` functions (SURVEY.md §2.6)."""
+
+from semiuhpe_tpu.data.datasets.base import SyntheticHeadPose  # noqa: F401
+
+
+def get_dataset(name: str, phase: str, config):
+    name = name.lower()
+    if name == "300wlp":
+        from semiuhpe_tpu.data.datasets.d300wlp import make_300wlp
+        return make_300wlp(phase, config)
+    if name == "aflw2000":
+        from semiuhpe_tpu.data.datasets.aflw2000 import make_aflw2000
+        return make_aflw2000(phase, config)
+    if name == "dad3dheads":
+        from semiuhpe_tpu.data.datasets.dad3dheads import make_dad3dheads
+        return make_dad3dheads(phase, config)
+    if name == "cocohead":
+        from semiuhpe_tpu.data.datasets.cocohead import make_cocohead
+        return make_cocohead(phase, config)
+    if name == "wildhead":
+        from semiuhpe_tpu.data.datasets.wildhead import make_wildhead
+        return make_wildhead(phase, config)
+    if name == "crowdhuman":
+        from semiuhpe_tpu.data.datasets.crowdhuman import make_crowdhuman
+        return make_crowdhuman(phase, config)
+    if name == "widerface":
+        from semiuhpe_tpu.data.datasets.widerface import make_widerface
+        return make_widerface(phase, config)
+    if name == "aflwface":
+        from semiuhpe_tpu.data.datasets.aflwface import make_aflwface
+        return make_aflwface(phase, config)
+    if name in ("biwitrain", "biwitest"):
+        from semiuhpe_tpu.data.datasets.biwi import make_biwi
+        return make_biwi(name, phase, config)
+    if name == "synthetic":
+        return SyntheticHeadPose(
+            n=getattr(config, "synthetic_size", 512),
+            augment_strong=(phase == "ulb_train"),
+            rotate_aug=getattr(config, "rotate_aug", False),
+            full_range=getattr(config, "is_full_range", False),
+            seed=0 if phase != "test" else 1,
+            size=getattr(config, "input_size", 224),
+        )
+    raise NotImplementedError(f"unknown dataset {name}")

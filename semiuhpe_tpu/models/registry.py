@@ -20,6 +20,10 @@ def build_network(name: str, num_outputs: int = 9, dtype: Any = jnp.float32,
 
     common = dict(num_outputs=num_outputs, dtype=dtype, axis_name=axis_name)
     name = name.lower()
+    if name == "tiny":
+        # Minimal conv net for smoke tests / CI — not a reference backbone.
+        from semiuhpe_tpu.models import tiny
+        return tiny.tiny_cnn(**common, **kw)
     if name == "mobilenet":
         return mobilenet.mobilenet_v2(**common, **kw)
     if name == "resnet18":

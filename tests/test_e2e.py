@@ -1,0 +1,54 @@
+"""End-to-end CLI tests: two-stage train on synthetic data, then evaluate
+the produced checkpoint — the full reference workflow in miniature."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+ARGS = [
+    "--train_labeled", "synthetic", "--train_unlabeled", "synthetic",
+    "--test_set", "synthetic", "--network", "tiny", "--input_size", "32",
+    "--synthetic_size", "64", "--batch_size", "8", "--ulb_batch_ratio", "2",
+    "--stage1_iteration", "6", "--max_iteration", "12",
+    "--log_frequency", "3", "--val_frequency", "6", "--save_frequency", "6",
+    "--eval_batch_size", "32", "--dtype", "float32",
+    "--dynamic_thres", "true", "--cutout_aug", "true", "--rotate_aug", "true",
+]
+
+
+@pytest.fixture(scope="module")
+def exp_dir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("exps"))
+
+
+@pytest.mark.e2e
+def test_train_then_eval(exp_dir):
+    from semiuhpe_tpu.cli import train as train_cli
+    from semiuhpe_tpu.cli import evaluate as eval_cli
+
+    best_err = train_cli.main(ARGS + ["--exp_dir", exp_dir])
+    assert np.isfinite(best_err) and best_err < 360
+
+    # find produced checkpoint
+    ckpts = []
+    for root, dirs, _ in os.walk(exp_dir):
+        if "best" in dirs and root.endswith("model"):
+            ckpts.append(os.path.join(root, "best"))
+    assert ckpts, "no best checkpoint written"
+
+    results = eval_cli.main(
+        [ckpts[0], "--test_set", "synthetic", "--network", "tiny",
+         "--input_size", "32", "--synthetic_size", "32",
+         "--eval_batch_size", "32", "--dtype", "float32",
+         "--exp_dir", exp_dir])
+    for tag in ("student", "ema"):
+        assert "mae_mean" in results[tag]
+        assert np.isfinite(results[tag]["mae_mean"])
+        assert np.isfinite(results[tag]["frobenius"])
+
+    # error JSON dumped next to the checkpoint
+    dumps = [f for f in os.listdir(os.path.dirname(ckpts[0]))
+             if f.startswith("errors_")]
+    assert len(dumps) == 2
