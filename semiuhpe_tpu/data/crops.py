@@ -84,13 +84,17 @@ def head_crop_from_landmarks(img: Image.Image, pt2d: np.ndarray, ad: float,
 
 def head_crop_from_bbox(img: Image.Image, bbox, ad: float, out_size: int = 224,
                         top_scale: float = 1.0) -> Image.Image:
-    """From a head bbox (x, y, w, h); pad factor applied to (w+h)/2 like the
-    reference's head-box datasets (dataset_COCOHead.py:30-60)."""
+    """Center-based crop from a head/face bbox (x, y, w, h): the box center
+    padded to half-extent (0.5 + ad) * (w+h)/2 on each side, with the top
+    extent using ``top_scale * ad`` (WiderFace uses 2x headroom above the
+    face, dataset_WiderFace.py:34-38; head-box sets use 1x,
+    dataset_COCOHead.py:30-40)."""
     x, y, w, h = bbox
+    cx, cy = x + w / 2.0, y + h / 2.0
     pad_len = (w + h) / 2.0
     img_w, img_h = img.size
-    l = max(int(x - ad * pad_len), 0)
-    t = max(int(y - ad * pad_len * top_scale), 0)
-    r = min(int(x + w + ad * pad_len), img_w - 1)
-    b = min(int(y + h + ad * pad_len), img_h - 1)
+    l = max(int(cx - (0.5 + ad) * pad_len), 0)
+    t = max(int(cy - (0.5 + ad * top_scale) * pad_len), 0)
+    r = min(int(cx + (0.5 + ad) * pad_len), img_w - 1)
+    b = min(int(cy + (0.5 + ad) * pad_len), img_h - 1)
     return crop_pad_square(img, l, t, r, b, out_size)

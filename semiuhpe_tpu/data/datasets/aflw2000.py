@@ -27,9 +27,10 @@ def _wrap(angle: float) -> float:
 
 
 class DatasetAFLW2000:
-    def __init__(self, img_files, anno_files):
+    def __init__(self, img_files, anno_files, out_size: int = 224):
         self.img_files = img_files
         self.anno_files = anno_files
+        self.out_size = out_size
 
     def __len__(self):
         return len(self.img_files)
@@ -38,7 +39,8 @@ class DatasetAFLW2000:
         img = Image.open(self.img_files[idx]).convert("RGB")
         mat = sio.loadmat(self.anno_files[idx])
         pitch, yaw, roll = (_wrap(a) for a in np.degrees(mat["Pose_Para"][0][:3]))
-        crop = head_crop_from_landmarks(img, mat["pt2d"], ad=0.2)
+        crop = head_crop_from_landmarks(img, mat["pt2d"], ad=0.2,
+                                        out_size=self.out_size)
         tensor = normalize(crop).astype(np.float32)
         return {
             "idx": np.int32(idx),
@@ -62,4 +64,5 @@ def make_aflw2000(phase: str, config):
         if all(abs(a) < 90 for a in angles):
             keep_m.append(m)
             keep_j.append(j)
-    return DatasetAFLW2000(keep_j, keep_m)
+    return DatasetAFLW2000(keep_j, keep_m,
+                           out_size=getattr(config, 'input_size', 224))

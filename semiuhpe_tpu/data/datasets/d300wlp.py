@@ -59,12 +59,13 @@ def _wrap_clip(angle: float) -> float:
 class Dataset300WLP:
     def __init__(self, img_files: List[str], anno_files: List[str], phase: str,
                  augment_strong: bool = False, rotate_aug: bool = False,
-                 seed=None):
+                 out_size: int = 224, seed=None):
         self.img_files = img_files
         self.anno_files = anno_files
         self.phase = phase
         self.augment_strong = augment_strong
         self.rotate_aug = rotate_aug
+        self.out_size = out_size
         self.seed = seed
 
     def __len__(self):
@@ -82,7 +83,7 @@ class Dataset300WLP:
         pt2d = load_landmarks(self.anno_files[idx], img.size[0])
 
         ad = rng.uniform() * 0.2 + 0.2
-        crop = head_crop_from_landmarks(img, pt2d, ad)
+        crop = head_crop_from_landmarks(img, pt2d, ad, self.out_size)
 
         pitch, yaw, roll = map(_wrap_clip, (pitch, yaw, roll))
         flip = rng.uniform() < 0.5
@@ -91,7 +92,7 @@ class Dataset300WLP:
 
         weak, strong, rot_angle = weak_strong_views(
             rng, crop, augment_strong=self.augment_strong,
-            rotate_aug=self.rotate_aug, flip=flip)
+            rotate_aug=self.rotate_aug, flip=flip, out_size=self.out_size)
         aug = aug_rot_mat_z(rot_angle)
         rot = aug @ euler_to_rot_np(pitch, yaw, roll)
 
@@ -149,4 +150,5 @@ def make_300wlp(phase: str, config):
         jpgs, mats, phase,
         augment_strong=(phase == "ulb_train"),
         rotate_aug=getattr(config, "rotate_aug", False) and phase == "ulb_train",
+        out_size=getattr(config, "input_size", 224),
     )
