@@ -39,8 +39,15 @@ STEPS = int(os.environ.get("BENCH_STEPS", 20))
 def main():
     import jax
 
+    import hashlib
+    try:
+        flags_line = next(ln for ln in open("/proc/cpuinfo")
+                          if ln.startswith("flags"))
+        fp = hashlib.md5(flags_line.encode()).hexdigest()[:8]
+    except (OSError, StopIteration):
+        fp = "generic"
     cache = os.path.expanduser(
-        f"~/.cache/jax_compilation_cache_{jax.default_backend()}")
+        f"~/.cache/jax_cache_{jax.default_backend()}_{fp}")
     try:
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

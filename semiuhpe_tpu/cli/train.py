@@ -41,11 +41,26 @@ from semiuhpe_tpu.training.loggingx import TextLogger, Throughput
 from semiuhpe_tpu.training.state import create_train_state, set_learning_rate
 
 
+def _host_fingerprint() -> str:
+    """Short hash of the host CPU feature set — AOT executables compiled for
+    a different microarchitecture must not be loaded (SIGILL risk)."""
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.md5(line.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    import platform
+    return hashlib.md5(platform.processor().encode()).hexdigest()[:8]
+
+
 def setup_compile_cache():
-    # Per-platform cache dir: CPU must not load AOT artifacts compiled for a
-    # different host target (SIGILL risk), and vice versa.
+    # Cache dir keyed by platform AND host CPU fingerprint: artifacts
+    # compiled for another microarchitecture must never be loaded.
     cache = os.path.expanduser(
-        f"~/.cache/jax_compilation_cache_{jax.default_backend()}")
+        f"~/.cache/jax_cache_{jax.default_backend()}_{_host_fingerprint()}")
     try:
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
@@ -112,7 +127,7 @@ def main(argv=None):
               else None)
     with jax.default_device(jax.devices()[0]):
         state = jax.jit(
-            lambda k: create_train_state(net, k, (224, 224, 3), config.lr, dtype)
+            lambda k: create_train_state(net, k, (config.input_size, config.input_size, 3), config.lr, dtype)
         )(jax.random.key(config.seed))
     state = replicate(mesh, state)
 

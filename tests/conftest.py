@@ -17,9 +17,22 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: repeat test runs skip XLA recompilation.
+# Keyed by host CPU flags so foreign AOT artifacts are never loaded.
+import hashlib
+
+def _cpu_fp():
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.md5(line.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    return "generic"
+
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.path.expanduser("~/.cache/jax_compilation_cache_cpu"))
+    os.path.expanduser(f"~/.cache/jax_cache_cpu_{_cpu_fp()}"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402

@@ -61,8 +61,8 @@ class TestHeadMesh:
         assert v.dtype == np.float32 and t.dtype == np.int32
         assert t.min() >= 0 and t.max() < len(v)
         assert np.abs(v).max() <= 0.15
-        # The nose protrudes: max z should exceed the base ellipsoid depth.
-        assert v[:, 2].max() > 0.95 * 0.09
+        # The nose protrudes toward -z (the face direction).
+        assert v[:, 2].min() < -0.95 * 0.09
 
     def test_normals_point_outward(self):
         from semiuhpe_tpu.render.headmesh import make_head_mesh
