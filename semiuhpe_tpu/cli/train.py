@@ -38,6 +38,7 @@ from semiuhpe_tpu.parallel import make_mesh, jit_step, shard_batch, replicate
 from semiuhpe_tpu.training import steps as steps_mod
 from semiuhpe_tpu.training.checkpoints import load_checkpoint, save_checkpoint
 from semiuhpe_tpu.training.loggingx import TextLogger, Throughput
+from semiuhpe_tpu.training.profiling import StepTimer, device_memory_stats, trace
 from semiuhpe_tpu.training.state import create_train_state, set_learning_rate
 
 
@@ -160,6 +161,8 @@ def main(argv=None):
     best_mean_error = 360.0
     conf_thres = config.conf_thres
     meter = Throughput()
+    step_timer = StepTimer()
+    profiler_ctx = None
     epoch = 0
 
     while int(jax.device_get(state.step)) < config.max_iteration:
@@ -180,8 +183,19 @@ def main(argv=None):
                     logger.line("stage boundary: no best checkpoint to reload")
                 state = set_learning_rate(state, config.lr * 0.1)
 
+            # Profiler window management.
+            if config.profile_dir and it == config.profile_start:
+                profiler_ctx = trace(config.profile_dir)
+                profiler_ctx.__enter__()
+            if (profiler_ctx is not None
+                    and it == config.profile_start + config.profile_steps):
+                profiler_ctx.__exit__(None, None, None)
+                profiler_ctx = None
+                logger.line(f"profiler trace written to {config.profile_dir}")
+
             s1 = it < config.stage1_iteration
             rng = jax.random.key(config.seed * 1_000_003 + it)
+            step_timer.start()
             if s1:
                 sdata = shard_batch(mesh, data)
                 state, metrics = sup_step(state, sdata, rng)
@@ -192,6 +206,8 @@ def main(argv=None):
                     state, shard_batch(mesh, data), shard_batch(mesh, ulb_data),
                     rng, jnp.float32(conf_thres), jnp.float32(config.SSL_lambda))
                 n_imgs = batch + ulb_batch
+            jax.block_until_ready(metrics) if config.profile_dir else None
+            step_timer.stop()
             rate = meter.tick(n_imgs)
 
             it += 1
@@ -230,6 +246,12 @@ def main(argv=None):
         epoch += 1
 
     save_checkpoint(config.model_dir, "last", jax.device_get(state))
+    timing = step_timer.summary()
+    if timing:
+        logger.log("timing", int(jax.device_get(state.step)), timing)
+    mem = device_memory_stats()
+    if mem:
+        logger.line(f"device memory: {mem}")
     logger.line(f"done at iter {int(jax.device_get(state.step))}, "
                 f"best err {best_mean_error:.4f}")
     return best_mean_error

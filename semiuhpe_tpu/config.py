@@ -111,6 +111,13 @@ def build_parser(phase: str) -> argparse.ArgumentParser:
     p.add_argument("--input_size", type=int, default=224,
                    help="crop side; 224 for the reference datasets, smaller "
                         "for synthetic smoke runs")
+
+    # observability
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler trace of the steps in "
+                        "[profile_start, profile_start+profile_steps)")
+    p.add_argument("--profile_start", type=int, default=20)
+    p.add_argument("--profile_steps", type=int, default=10)
     return p
 
 

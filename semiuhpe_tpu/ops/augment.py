@@ -3,9 +3,14 @@
 TPU-native re-design of /root/reference/src/augments.py (random_cutout_tensor
 / random_cutmix_tensor): the reference fills rectangles with a Python loop
 over batch x holes on GPU tensors; here the same distributions (3 holes,
-centers ~ N(image_center, size/6), half-extents ~ U[10, 20)) drive a fully
-vectorized mask built from broadcasted iotas, so the whole op is a handful
-of fused elementwise kernels under jit — no loops, no dynamic shapes.
+centers ~ N(image_center, size/6), half-extents ~ U[10, 20)) drive fully
+vectorized masks built from broadcasted iotas — a handful of fused
+elementwise kernels under jit, no loops, no dynamic shapes.
+
+Structure: ``sample_holes`` draws the hole geometry (and the CutMix donor
+permutation) from an explicit rng; ``apply_cutout`` / ``apply_cutmix``
+consume it.  The same sampled parameters feed the fused Pallas kernel in
+``ops.pallas_augment`` so both implementations are bit-comparable.
 
 Images are NHWC, already normalized; fill value 0 equals the reference's
 zero-fill on normalized tensors (ImageNet-mean gray).
@@ -13,35 +18,67 @@ zero-fill on normalized tensors (ImageNet-mean gray).
 
 from __future__ import annotations
 
+from typing import NamedTuple, Optional, Tuple
+
 import jax
 import jax.numpy as jnp
 
 
-def _hole_mask(rng, batch, height, width, n_holes, dtype):
-    """(B, H, W, 1) mask that is True inside any of the sampled holes."""
+class HoleParams(NamedTuple):
+    x0: jnp.ndarray  # (B, n_holes) int32
+    x1: jnp.ndarray
+    y0: jnp.ndarray
+    y1: jnp.ndarray
+
+
+def sample_holes(rng: jax.Array, batch: int, height: int, width: int,
+                 n_holes: int = 3) -> HoleParams:
+    """Reference hole distribution: centers ~ N(center, dim/6), half-extents
+    ~ U[10, 20), clipped to the image."""
     k_cx, k_cy, k_sz = jax.random.split(rng, 3)
-    cx = jax.random.normal(k_cx, (batch, n_holes)) * (width / 6.0) + width / 2.0
-    cy = jax.random.normal(k_cy, (batch, n_holes)) * (height / 6.0) + height / 2.0
-    cx = cx.astype(jnp.int32)
-    cy = cy.astype(jnp.int32)
+    cx = (jax.random.normal(k_cx, (batch, n_holes)) * (width / 6.0)
+          + width / 2.0).astype(jnp.int32)
+    cy = (jax.random.normal(k_cy, (batch, n_holes)) * (height / 6.0)
+          + height / 2.0).astype(jnp.int32)
     size = jax.random.randint(k_sz, (batch, n_holes, 2), 10, 20)
+    return HoleParams(
+        x0=jnp.clip(cx - size[..., 0], 0, width),
+        x1=jnp.clip(cx + size[..., 0], 0, width),
+        y0=jnp.clip(cy - size[..., 1], 0, height),
+        y1=jnp.clip(cy + size[..., 1], 0, height),
+    )
 
-    x0 = jnp.clip(cx - size[..., 0], 0, width)[:, :, None, None]
-    x1 = jnp.clip(cx + size[..., 0], 0, width)[:, :, None, None]
-    y0 = jnp.clip(cy - size[..., 1], 0, height)[:, :, None, None]
-    y1 = jnp.clip(cy + size[..., 1], 0, height)[:, :, None, None]
 
+def hole_mask(holes: HoleParams, height: int, width: int) -> jnp.ndarray:
+    """(B, H, W, 1) boolean mask, True inside any hole."""
+    x0 = holes.x0[:, :, None, None]
+    x1 = holes.x1[:, :, None, None]
+    y0 = holes.y0[:, :, None, None]
+    y1 = holes.y1[:, :, None, None]
     xs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, height, width), 3)
     ys = jax.lax.broadcasted_iota(jnp.int32, (1, 1, height, width), 2)
     inside = (xs >= x0) & (xs < x1) & (ys >= y0) & (ys < y1)  # (B, holes, H, W)
-    return jnp.any(inside, axis=1)[..., None]  # (B, H, W, 1)
+    return jnp.any(inside, axis=1)[..., None]
+
+
+def apply_cutout(images: jnp.ndarray, holes: HoleParams) -> jnp.ndarray:
+    b, h, w, _ = images.shape
+    mask = hole_mask(holes, h, w)
+    return jnp.where(mask, jnp.zeros_like(images), images)
+
+
+def apply_cutmix(images: jnp.ndarray, holes: HoleParams,
+                 donor_idx: jnp.ndarray) -> jnp.ndarray:
+    b, h, w, _ = images.shape
+    mask = hole_mask(holes, h, w)
+    donors = jnp.take(images, donor_idx, axis=0)
+    return jnp.where(mask, donors, images)
 
 
 def random_cutout(rng: jax.Array, images: jnp.ndarray, n_holes: int = 3) -> jnp.ndarray:
     """Zero-fill random rectangles (CutOut, arXiv 1708.04552)."""
     b, h, w, _ = images.shape
-    mask = _hole_mask(rng, b, h, w, n_holes, images.dtype)
-    return jnp.where(mask, jnp.zeros_like(images), images)
+    return apply_cutout(images, sample_holes(rng, b, h, w, n_holes))
 
 
 def random_cutmix(rng: jax.Array, images: jnp.ndarray, n_holes: int = 3) -> jnp.ndarray:
@@ -50,6 +87,6 @@ def random_cutmix(rng: jax.Array, images: jnp.ndarray, n_holes: int = 3) -> jnp.
     paper's pose-irrelevant occlusion."""
     b, h, w, _ = images.shape
     k_perm, k_mask = jax.random.split(rng)
-    mask = _hole_mask(k_mask, b, h, w, n_holes, images.dtype)
-    donors = jnp.take(images, jax.random.permutation(k_perm, b), axis=0)
-    return jnp.where(mask, donors, images)
+    holes = sample_holes(k_mask, b, h, w, n_holes)
+    donor_idx = jax.random.permutation(k_perm, b)
+    return apply_cutmix(images, holes, donor_idx)
