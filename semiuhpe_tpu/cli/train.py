@@ -69,6 +69,22 @@ def setup_compile_cache():
         pass
 
 
+def save_visual_fixtures(log_dir, batch, prefix, limit=10):
+    """First ~10 crops of a batch saved as JPEGs — the reference's runtime
+    augmentation-monitoring idiom (agent.py:128-136, dataset save blocks)."""
+    import cv2
+
+    from semiuhpe_tpu.data.augments_host import denormalize
+
+    existing = [n for n in os.listdir(log_dir) if n.startswith(prefix)]
+    if len(existing) >= limit:
+        return
+    imgs = np.asarray(batch)[:limit]
+    for i, img in enumerate(imgs):
+        path = os.path.join(log_dir, f"{prefix}{i:08d}.jpg")
+        cv2.imwrite(path, denormalize(img)[:, :, ::-1])
+
+
 def pad_to(batch, size):
     """Pad a possibly-short batch to ``size`` rows; returns (batch, n_valid)."""
     n = len(next(iter(batch.values())))
@@ -150,6 +166,8 @@ def main(argv=None):
     eval_teacher = jax.jit(steps_mod.make_eval_step(net, config.distribution, grids9,
                                                     use_ema=True))
     entropy_fn = jax.jit(steps_mod.make_entropy_fn(net, use_ema=True))
+    feature_fn = (jax.jit(steps_mod.make_feature_entropy_fn(net, use_ema=True))
+                  if config.save_feat else None)
 
     # ----- resume -----
     if config.cont_ckpt:
@@ -195,6 +213,9 @@ def main(argv=None):
 
             s1 = it < config.stage1_iteration
             rng = jax.random.key(config.seed * 1_000_003 + it)
+            if it < 2:
+                save_visual_fixtures(config.log_dir, data["img"],
+                                     f"{config.train_labeled}_weak_")
             step_timer.start()
             if s1:
                 sdata = shard_batch(mesh, data)
@@ -202,6 +223,9 @@ def main(argv=None):
                 n_imgs = batch
             else:
                 ulb_data = next(ulb_iter)
+                if it < config.stage1_iteration + 2:
+                    save_visual_fixtures(config.log_dir, ulb_data["img_strong"],
+                                         f"{config.train_unlabeled}_strong_")
                 state, metrics = ssl_step(
                     state, shard_batch(mesh, data), shard_batch(mesh, ulb_data),
                     rng, jnp.float32(conf_thres), jnp.float32(config.SSL_lambda))
@@ -242,6 +266,23 @@ def main(argv=None):
                         lambda st, img: entropy_fn(st, jax.device_put(img)),
                         state, iter(ulb_loader), config.left_ratio)
                     logger.log("settings", it, {"conf_thres": conf_thres})
+                if feature_fn is not None:
+                    # save_feat: dump {idx: [penultimate_feat, entropy]} for
+                    # t-SNE analysis (reference agent.py:369-401).
+                    import json as _json
+
+                    feats = {}
+                    for b in ulb_loader:
+                        e, f = feature_fn(state, jax.device_put(b["img"]))
+                        for bi, ei, fi in zip(b["idx"], np.asarray(e),
+                                              np.asarray(f)):
+                            feats[str(int(bi))] = [fi.tolist(), float(ei)]
+                    feat_path = os.path.join(
+                        config.log_dir,
+                        f"ulb_feats_iter{it}_thre{conf_thres}.json")
+                    with open(feat_path, "w") as fjson:
+                        _json.dump(feats, fjson)
+                    logger.line(f"saved unlabeled features to {feat_path}")
 
         epoch += 1
 

@@ -185,6 +185,30 @@ def fisher_log_pdf_discrete(a: jnp.ndarray, r: jnp.ndarray, grids9: jnp.ndarray)
     return tr - log_f
 
 
-def grids_as_device_matrix(level: int = 2) -> jnp.ndarray:
-    """(N, 9) float32 device array of flattened grid rotations."""
-    return jnp.asarray(so3_healpix_grid(level).reshape(-1, 9))
+def filter_grids(grids: np.ndarray, mode: str = "full") -> np.ndarray:
+    """Keep grids within a geodesic angle of the frontal basis
+    diag(1, -1, -1) — the reference's front/large/half grid subsets
+    (/root/reference/src/laplace/filter_grids.py:15-39):
+    'front' < 90 deg (~18%), 'large' < 100 deg (~24%), 'half' < median
+    (50%), 'full' keeps everything."""
+    if mode == "full":
+        return grids
+    basis = np.diag([1.0, -1.0, -1.0])
+    m = np.einsum("ij,njk->nik", basis, np.swapaxes(grids, -1, -2))
+    cos_v = (m[:, 0, 0] + m[:, 1, 1] + m[:, 2, 2] - 1.0) / 2.0
+    theta = np.arccos(np.clip(cos_v, -1 + 1e-7, 1 - 1e-7))
+    if mode == "front":
+        thr = np.pi / 2
+    elif mode == "large":
+        thr = (100.0 / 180.0) * np.pi
+    elif mode == "half":
+        thr = np.median(theta)
+    else:
+        raise ValueError(f"unknown grid filter mode {mode!r}")
+    return grids[theta < thr]
+
+
+def grids_as_device_matrix(level: int = 2, mode: str = "full") -> jnp.ndarray:
+    """(N, 9) float32 device array of flattened (optionally range-filtered)
+    grid rotations."""
+    return jnp.asarray(filter_grids(so3_healpix_grid(level), mode).reshape(-1, 9))

@@ -291,6 +291,42 @@ def make_entropy_fn(net, use_ema: bool = True) -> Callable:
     return entropies
 
 
+def make_feature_entropy_fn(net, use_ema: bool = True) -> Callable:
+    """Teacher entropy + penultimate head feature per sample — the
+    ``save_feat`` t-SNE dump capability (reference registers a forward hook
+    on the second-to-last head Linear, agent.py:369-401).  Here flax
+    ``capture_intermediates`` records the head's Dense outputs and we take
+    the second-to-last one."""
+    import flax.linen as nn
+
+    def fn(state: TrainState, img):
+        params = state.ema_params if use_ema else state.params
+        stats = state.ema_batch_stats if use_ema else state.batch_stats
+        out, mod = net.apply(
+            {"params": params, "batch_stats": stats}, img, train=False,
+            capture_intermediates=lambda mdl, _: isinstance(mdl, nn.Dense),
+            mutable=["intermediates"])
+        inter = mod["intermediates"]
+
+        def find_head(tree):
+            for k, v in tree.items():
+                if "RegressionHead" in k:
+                    return v
+                if isinstance(v, dict):
+                    found = find_head(v)
+                    if found is not None:
+                        return found
+            return None
+
+        head = find_head(inter) or inter
+        dense_keys = sorted(k for k in head if k.startswith("Dense"))
+        feat_key = dense_keys[-2] if len(dense_keys) >= 2 else dense_keys[-1]
+        feat = head[feat_key]["__call__"][0]
+        return fisher.fisher_entropy(out), feat
+
+    return fn
+
+
 def dynamic_entropy_threshold(entropy_fn, state, batches, left_ratio: float) -> float:
     """Full teacher pass over the unlabeled set; threshold = left_ratio
     quantile of the sorted entropies (keep the most-confident fraction)."""

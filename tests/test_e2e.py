@@ -52,3 +52,26 @@ def test_train_then_eval(exp_dir):
     dumps = [f for f in os.listdir(os.path.dirname(ckpts[0]))
              if f.startswith("errors_")]
     assert len(dumps) == 2
+
+
+@pytest.mark.e2e
+def test_rotation_laplace_train(exp_dir):
+    """Short supervised run with the RotationLaplace distribution."""
+    from semiuhpe_tpu.cli import train as train_cli
+
+    best_err = train_cli.main(
+        ARGS + ["--exp_dir", exp_dir, "--distribution", "RotationLaplace",
+                "--max_iteration", "6", "--stage1_iteration", "6",
+                "--exp_name", "rl"])
+    assert np.isfinite(best_err) and best_err < 360
+
+
+@pytest.mark.e2e
+def test_nll_unsuper_variant(exp_dir):
+    """SSL with type_unsuper=nll (pseudo-label NLL instead of Fisher-CE)."""
+    from semiuhpe_tpu.cli import train as train_cli
+
+    best_err = train_cli.main(
+        ARGS + ["--exp_dir", exp_dir, "--type_unsuper", "nll",
+                "--exp_name", "nll"])
+    assert np.isfinite(best_err)
