@@ -72,10 +72,12 @@ def main():
                                                  jnp.bfloat16))(jax.random.key(0))
     state = replicate(mesh, state)
 
+    # with_diagnostics=False is the steady-state trainer configuration
+    # (diagnostic metrics only run on log steps).
     step = jit_step(
         steps_mod.make_ssl_step(
             net, 1e-4, rotate_aug=True, cutout_aug=True, cutmix_aug=True,
-            stage1_iteration=0),
+            stage1_iteration=0, with_diagnostics=False),
         mesh, n_batch_args=2, n_scalar_args=3)
 
     rng = np.random.default_rng(0)

@@ -31,6 +31,7 @@ import numpy as np
 
 from semiuhpe_tpu.config import get_config
 from semiuhpe_tpu.data import Loader, cycle
+from semiuhpe_tpu.data.loader import prefetch_to_device
 from semiuhpe_tpu.data.datasets import get_dataset
 from semiuhpe_tpu.models import build_network
 from semiuhpe_tpu.ops.laplace import grids_as_device_matrix
@@ -136,7 +137,9 @@ def main(argv=None):
         ulb_batch = _round_up(round(config.batch_size * config.ulb_batch_ratio), n_dev)
         ulb_loader = Loader(ulb_set, ulb_batch, shuffle=True, drop_last=True,
                             num_workers=config.num_workers)
-        ulb_iter = cycle(ulb_loader)
+        # Device-side prefetch: unlabeled batches land sharded on the mesh
+        # two steps ahead of consumption (overlaps H2D with compute).
+        ulb_iter = prefetch_to_device(cycle(ulb_loader), mesh, depth=2)
 
     # ----- model/state -----
     net = build_network(config.network, num_outputs=config.num_classes, dtype=dtype)
@@ -152,14 +155,21 @@ def main(argv=None):
     sup_step = jit_step(
         steps_mod.make_supervised_step(net, config.lr, config.distribution, grids9),
         mesh, n_batch_args=1, n_scalar_args=1)
-    ssl_step = jit_step(
-        steps_mod.make_ssl_step(
-            net, config.lr, distribution=config.distribution,
-            type_unsuper=config.type_unsuper, labeled_set=config.train_labeled,
-            rotate_aug=config.rotate_aug, cutout_aug=config.cutout_aug,
-            cutmix_aug=config.cutmix_aug, is_ema=config.is_ema, eman=config.eman,
-            ema_decay=config.ema_decay, stage1_iteration=config.stage1_iteration,
-            grids9=grids9),
+    ssl_kwargs = dict(
+        distribution=config.distribution, type_unsuper=config.type_unsuper,
+        labeled_set=config.train_labeled, rotate_aug=config.rotate_aug,
+        cutout_aug=config.cutout_aug, cutmix_aug=config.cutmix_aug,
+        is_ema=config.is_ema, eman=config.eman, ema_decay=config.ema_decay,
+        stage1_iteration=config.stage1_iteration, grids9=grids9)
+    # Fast step for most iterations; diagnostic step (extra SVD metrics,
+    # ~9% slower) only on logging iterations.
+    ssl_step_fast = jit_step(
+        steps_mod.make_ssl_step(net, config.lr, with_diagnostics=False,
+                                **ssl_kwargs),
+        mesh, n_batch_args=2, n_scalar_args=3)
+    ssl_step_diag = jit_step(
+        steps_mod.make_ssl_step(net, config.lr, with_diagnostics=True,
+                                **ssl_kwargs),
         mesh, n_batch_args=2, n_scalar_args=3)
     eval_student = jax.jit(steps_mod.make_eval_step(net, config.distribution, grids9,
                                                     use_ema=False))
@@ -222,12 +232,17 @@ def main(argv=None):
                 state, metrics = sup_step(state, sdata, rng)
                 n_imgs = batch
             else:
-                ulb_data = next(ulb_iter)
+                ulb_data = next(ulb_iter)  # already sharded on the mesh
                 if it < config.stage1_iteration + 2:
-                    save_visual_fixtures(config.log_dir, ulb_data["img_strong"],
-                                         f"{config.train_unlabeled}_strong_")
+                    save_visual_fixtures(
+                        config.log_dir,
+                        jax.device_get(ulb_data["img_strong"]),
+                        f"{config.train_unlabeled}_strong_")
+                ssl_step = (ssl_step_diag
+                            if (it + 1) % config.log_frequency == 0
+                            else ssl_step_fast)
                 state, metrics = ssl_step(
-                    state, shard_batch(mesh, data), shard_batch(mesh, ulb_data),
+                    state, shard_batch(mesh, data), ulb_data,
                     rng, jnp.float32(conf_thres), jnp.float32(config.SSL_lambda))
                 n_imgs = batch + ulb_batch
             jax.block_until_ready(metrics) if config.profile_dir else None

@@ -125,12 +125,18 @@ def make_ssl_step(
     ema_decay: float = 0.999,
     stage1_iteration: int = 0,
     grids9=None,
+    with_diagnostics: bool = True,
 ) -> Callable:
     """Stage-2 SSL step (reference train_func + forward, agent.py:61-218).
 
     Returned callable: ``step(state, batch, ulb_batch, rng, conf_thres,
     ssl_lambda) -> (state, metrics)``; conf_thres/ssl_lambda are traced
     scalars so the dynamic threshold never retraces.
+
+    ``with_diagnostics=False`` drops the SVD-orthogonalization-based error
+    metrics (err_weakAll_gt / err_weakPseudo_gt / err_strongSuper_pseudo +
+    the labeled err_deg) — ~9% of the step cost that only feeds logging;
+    the train CLI uses the diagnostic variant on log steps only.
     """
     tx = make_optimizer(lr)
 
@@ -214,29 +220,30 @@ def make_ssl_step(
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 
-        err = error_degrees(pred_orth, batch["rot_mat"], batch.get("euler_angles"))
         metrics = {
             "loss": sup_loss,
             "unsuper_loss": unsuper_loss,
             "loss_all": total,
-            "err_deg": jnp.mean(err),
             "entropy_mean": jnp.mean(entropy),
             "entropy_std": jnp.std(entropy),
             "mask_ratio": mask_ratio,
             "lr": opt_state.hyperparams["learning_rate"],
         }
-
-        # Diagnostics vs unlabeled GT when present (agent.py:171-181).
-        if "rot_mat" in ulb_batch:
-            weak_rot = so3.special_procrustes(pred_weak_adj.reshape(-1, 3, 3))
-            e_all = error_degrees(weak_rot, ulb_batch["rot_mat"])
-            metrics["err_weakAll_gt"] = jnp.mean(e_all)
-            metrics["err_weakPseudo_gt"] = (
-                jnp.sum(e_all * mask) / jnp.maximum(jnp.sum(mask), 1.0))
-        strong_rot = so3.special_procrustes(pred_strong.reshape(-1, 3, 3))
-        e_sp = error_degrees(strong_rot, pseudo_rot)
-        metrics["err_strongSuper_pseudo"] = (
-            jnp.sum(e_sp * mask) / jnp.maximum(jnp.sum(mask), 1.0))
+        if with_diagnostics:
+            err = error_degrees(pred_orth, batch["rot_mat"],
+                                batch.get("euler_angles"))
+            metrics["err_deg"] = jnp.mean(err)
+            # Diagnostics vs unlabeled GT when present (agent.py:171-181).
+            if "rot_mat" in ulb_batch:
+                weak_rot = so3.special_procrustes(pred_weak_adj.reshape(-1, 3, 3))
+                e_all = error_degrees(weak_rot, ulb_batch["rot_mat"])
+                metrics["err_weakAll_gt"] = jnp.mean(e_all)
+                metrics["err_weakPseudo_gt"] = (
+                    jnp.sum(e_all * mask) / jnp.maximum(jnp.sum(mask), 1.0))
+            strong_rot = so3.special_procrustes(pred_strong.reshape(-1, 3, 3))
+            e_sp = error_degrees(strong_rot, pseudo_rot)
+            metrics["err_strongSuper_pseudo"] = (
+                jnp.sum(e_sp * mask) / jnp.maximum(jnp.sum(mask), 1.0))
 
         new_state = state.replace(
             step=state.step + 1, params=params, batch_stats=new_stats,
