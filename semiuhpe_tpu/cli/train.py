@@ -99,15 +99,24 @@ def pad_to(batch, size):
 
 
 def evaluate(eval_step, state, test_loader, mesh, conf_thres, batch_size):
-    losses, errs, mask_ratios = [], [], []
+    """Returns (loss, err_mean, mask_ratio, err_pseudo_gt): the last is the
+    mean error over confidently-predicted samples only (reference val_func
+    err_pseudo_gt, agent.py:238-247)."""
+    losses, errs, mask_ratios, masked_errs = [], [], [], []
     for batch in test_loader:
         batch, n_valid = pad_to(batch, batch_size)
         out = eval_step(state, shard_batch(mesh, batch), jnp.float32(conf_thres))
         losses.append(float(out["loss"]))
-        errs.append(np.asarray(out["err_deg"])[:n_valid])
+        err = np.asarray(out["err_deg"])[:n_valid]
+        errs.append(err)
         mask_ratios.append(float(out["mask_ratio"]))
+        mask = np.asarray(out["entropy"])[:n_valid] < conf_thres
+        masked_errs.append(err[mask])
     errs = np.concatenate(errs)
-    return float(np.mean(losses)), float(errs.mean()), float(np.mean(mask_ratios))
+    masked = np.concatenate(masked_errs) if masked_errs else np.asarray([])
+    err_pseudo = float(masked.mean()) if masked.size else -1.0
+    return (float(np.mean(losses)), float(errs.mean()),
+            float(np.mean(mask_ratios)), err_pseudo)
 
 
 def main(argv=None):
@@ -258,21 +267,25 @@ def main(argv=None):
                       " ".join(f"{k}:{v:.4f}" for k, v in m.items()), flush=True)
 
             if it % config.val_frequency == 0:
-                loss, err, mratio = evaluate(eval_student, state, test_loader,
-                                             mesh, conf_thres, config.eval_batch_size)
+                loss, err, mratio, err_pseudo = evaluate(
+                    eval_student, state, test_loader, mesh, conf_thres,
+                    config.eval_batch_size)
                 logger.log("test", it, {"loss": loss, "err_mean": err,
-                                        "mask_ratio": mratio})
+                                        "mask_ratio": mratio,
+                                        "err_pseudo_gt": err_pseudo})
                 if err < best_mean_error:
                     best_mean_error = err
                     save_checkpoint(config.model_dir, "best",
                                     jax.device_get(state))
                     logger.line(f"saved best (err {err:.4f})")
                 if not s1:
-                    loss_e, err_e, mratio_e = evaluate(
+                    loss_e, err_e, mratio_e, err_pseudo_e = evaluate(
                         eval_teacher, state, test_loader, mesh, conf_thres,
                         config.eval_batch_size)
-                    logger.log("test_ema", it, {"loss": loss_e, "err_mean": err_e,
-                                                "mask_ratio": mratio_e})
+                    logger.log("test_ema", it,
+                               {"loss": loss_e, "err_mean": err_e,
+                                "mask_ratio": mratio_e,
+                                "err_pseudo_gt": err_pseudo_e})
 
             if (it % config.save_frequency == 0 and do_ssl
                     and it >= config.stage1_iteration):
