@@ -55,6 +55,42 @@ def test_train_then_eval(exp_dir):
 
 
 @pytest.mark.e2e
+def test_predict_and_export_on_trained_ckpt(exp_dir, tmp_path):
+    """Reuses the checkpoint from test_train_then_eval: single-crop predict
+    CLI and StableHLO export round-trip."""
+    from semiuhpe_tpu.cli import predict as predict_cli
+    from semiuhpe_tpu.cli import export as export_cli
+    from semiuhpe_tpu.data.datasets.base import euler_to_rot_np, render_pose_image
+
+    ckpts = []
+    for root, dirs, _ in os.walk(exp_dir):
+        if "best" in dirs and root.endswith("model"):
+            ckpts.append(os.path.join(root, "best"))
+    if not ckpts:
+        pytest.skip("needs the checkpoint from test_train_then_eval")
+
+    imgs_dir = str(tmp_path / "heads")
+    os.makedirs(imgs_dir)
+    for i, yaw in enumerate((0.0, 40.0)):
+        render_pose_image(euler_to_rot_np(0.0, yaw, 0.0), 32).save(
+            f"{imgs_dir}/h{i}.jpg")
+
+    results = predict_cli.main(
+        [ckpts[0], "--imgs_dir", imgs_dir, "--network", "tiny",
+         "--input_size", "32", "--dtype", "float32", "--exp_dir", exp_dir])
+    assert len(results) == 2
+    out_files = os.listdir(imgs_dir.rstrip("/") + "_results")
+    assert len(out_files) == 2
+
+    out_bin = str(tmp_path / "model.bin")
+    export_cli.main(
+        [ckpts[0], "--network", "tiny", "--input_size", "32",
+         "--dtype", "float32", "--serve_batch", "4", "--out", out_bin,
+         "--exp_dir", exp_dir])
+    assert os.path.getsize(out_bin) > 1000
+
+
+@pytest.mark.e2e
 def test_rotation_laplace_train(exp_dir):
     """Short supervised run with the RotationLaplace distribution."""
     from semiuhpe_tpu.cli import train as train_cli
