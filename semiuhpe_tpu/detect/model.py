@@ -255,7 +255,7 @@ def tta_forward(model, variables, img: jnp.ndarray,
             nh, nw = int(round(h * s / 64) * 64), int(round(w * s / 64) * 64)
             x = jax.image.resize(x, (x.shape[0], nh, nw, x.shape[3]), "bilinear")
         p = model.apply(variables, x, train=False)
-        p = np.asarray(p)
+        p = np.array(p)  # writable host copy
         actual_s = (x.shape[1] / h) if s != 1.0 else 1.0
         p[..., :4] /= actual_s
         p[..., -model.num_offsets:] /= actual_s
