@@ -162,14 +162,16 @@ def main(argv=None):
 
     # ----- steps -----
     sup_step = jit_step(
-        steps_mod.make_supervised_step(net, config.lr, config.distribution, grids9),
+        steps_mod.make_supervised_step(net, config.lr, config.distribution,
+                                       grids9, grad_clip=config.grad_clip),
         mesh, n_batch_args=1, n_scalar_args=1)
     ssl_kwargs = dict(
         distribution=config.distribution, type_unsuper=config.type_unsuper,
         labeled_set=config.train_labeled, rotate_aug=config.rotate_aug,
         cutout_aug=config.cutout_aug, cutmix_aug=config.cutmix_aug,
         is_ema=config.is_ema, eman=config.eman, ema_decay=config.ema_decay,
-        stage1_iteration=config.stage1_iteration, grids9=grids9)
+        stage1_iteration=config.stage1_iteration, grids9=grids9,
+        grad_clip=config.grad_clip)
     # Fast step for most iterations; diagnostic step (extra SVD metrics,
     # ~9% slower) only on logging iterations.
     ssl_step_fast = jit_step(

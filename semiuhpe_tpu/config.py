@@ -76,6 +76,9 @@ def build_parser(phase: str) -> argparse.ArgumentParser:
 
     # training
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--grad_clip", type=float, default=0.0,
+                   help="global-norm gradient clip; 0 disables (reference "
+                        "behavior)")
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--stage1_iteration", type=int, default=50000)

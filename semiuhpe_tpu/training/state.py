@@ -26,9 +26,17 @@ class TrainState:
     opt_state: Any
 
 
-def make_optimizer(lr: float) -> optax.GradientTransformation:
+def make_optimizer(lr: float, grad_clip: float = 0.0) -> optax.GradientTransformation:
     """Adam with runtime-adjustable learning rate (the stage-2 x0.1 drop,
-    /root/reference/train.py:104-109, happens without retracing)."""
+    /root/reference/train.py:104-109, happens without retracing); optional
+    global-norm gradient clipping (off by default — the reference does not
+    clip — but useful insurance against rare near-degenerate-SVD gradient
+    spikes on the Fisher-CE path)."""
+    if grad_clip and grad_clip > 0:
+        def factory(learning_rate):
+            return optax.chain(optax.clip_by_global_norm(grad_clip),
+                               optax.adam(learning_rate))
+        return optax.inject_hyperparams(factory)(learning_rate=lr)
     return optax.inject_hyperparams(optax.adam)(learning_rate=lr)
 
 

@@ -66,9 +66,9 @@ def _supervised_loss(net, params, batch_stats, batch, rng, distribution, grids9,
 
 
 def make_supervised_step(net, lr: float, distribution: str = "matrixFisher",
-                         grids9=None) -> Callable:
+                         grids9=None, grad_clip: float = 0.0) -> Callable:
     """Stage-1 supervised step (reference train_func_s1, agent.py:254-266)."""
-    tx = make_optimizer(lr)
+    tx = make_optimizer(lr, grad_clip)
 
     def step(state: TrainState, batch, rng) -> tuple[TrainState, dict]:
         def loss_fn(params):
@@ -126,6 +126,7 @@ def make_ssl_step(
     stage1_iteration: int = 0,
     grids9=None,
     with_diagnostics: bool = True,
+    grad_clip: float = 0.0,
 ) -> Callable:
     """Stage-2 SSL step (reference train_func + forward, agent.py:61-218).
 
@@ -138,7 +139,7 @@ def make_ssl_step(
     the labeled err_deg) — ~9% of the step cost that only feeds logging;
     the train CLI uses the diagnostic variant on log steps only.
     """
-    tx = make_optimizer(lr)
+    tx = make_optimizer(lr, grad_clip)
 
     def step(state: TrainState, batch, ulb_batch, rng, conf_thres, ssl_lambda):
         rng_teacher, rng_student, rng_sup, rng_cutout, rng_cutmix = (
