@@ -22,15 +22,32 @@ def _stack(samples) -> Dict[str, np.ndarray]:
     return {k: np.stack([s[k] for s in samples]) for k in keys}
 
 
+_WORKER_DATASET = None
+
+
+def _init_worker(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _worker_get(idx):
+    return _WORKER_DATASET[idx]
+
+
 class Loader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, num_workers: int = 8,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None, use_processes: bool = False):
+        """``use_processes=True`` decodes samples in worker *processes*
+        (torch-DataLoader-style) — escapes the GIL for Python-heavy
+        datasets; the dataset must be picklable.  Threads (default) are
+        enough when PIL/cv2 dominate (they release the GIL)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.num_workers = max(1, num_workers)
+        self.use_processes = use_processes
         self._rng = np.random.default_rng(seed)
         self._pool = None
 
@@ -40,8 +57,22 @@ class Loader:
 
     def _ensure_pool(self):
         if self._pool is None:
-            self._pool = concurrent.futures.ThreadPoolExecutor(self.num_workers)
+            if self.use_processes:
+                import multiprocessing as mp
+
+                # spawn: forking a jax-threaded process risks deadlocks.
+                self._pool = concurrent.futures.ProcessPoolExecutor(
+                    self.num_workers, mp_context=mp.get_context("spawn"),
+                    initializer=_init_worker, initargs=(self.dataset,))
+            else:
+                self._pool = concurrent.futures.ThreadPoolExecutor(
+                    self.num_workers)
         return self._pool
+
+    def _submit(self, pool, idx: int):
+        if self.use_processes:
+            return pool.submit(_worker_get, idx)
+        return pool.submit(self.dataset.__getitem__, idx)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self.dataset)
@@ -62,8 +93,7 @@ class Loader:
         def submit_next():
             idxs = next(it, None)
             if idxs is not None:
-                pending.append([pool.submit(self.dataset.__getitem__, int(i))
-                                for i in idxs])
+                pending.append([self._submit(pool, int(i)) for i in idxs])
 
         submit_next()
         submit_next()

@@ -103,3 +103,12 @@ class TestFeatureCapture:
         assert e.shape == (4,)
         # tiny head: hidden (32,) -> penultimate Dense output is 32-dim.
         assert f.shape == (4, 32)
+
+
+class TestProcessLoader:
+    def test_process_pool_batches(self):
+        ld = Loader(_ToyDataset(), 4, shuffle=False, drop_last=True,
+                    num_workers=2, use_processes=True)
+        batches = list(ld)
+        assert len(batches) == 2
+        np.testing.assert_array_equal(batches[0]["idx"], [0, 1, 2, 3])
