@@ -56,7 +56,7 @@ def main(argv=None):
     stats = state.ema_batch_stats if args.use_ema else state.batch_stats
 
     if config.network == "repvgg":
-        from semiuhpe_tpu.models.repvgg import RepVGG, reparameterize_params
+        from semiuhpe_tpu.models.repvgg import reparameterize_params
 
         deploy_params = reparameterize_params(params, stats)
         stats = {k: v for k, v in stats.items()

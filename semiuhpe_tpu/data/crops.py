@@ -15,8 +15,6 @@ ops live on device in ops/augment.py.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 from PIL import Image
 

@@ -14,7 +14,7 @@ import numpy as np
 from PIL import Image
 
 from semiuhpe_tpu.data.augments_host import (
-    CROP_SIZE, aug_rot_mat_z, normalize, weak_strong_views)
+    CROP_SIZE, aug_rot_mat_z, weak_strong_views)
 
 
 class HeadPoseDataset(Protocol):

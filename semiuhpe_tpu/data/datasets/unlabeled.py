@@ -10,7 +10,7 @@ rotation recorded in ``aug_rot_mat``.  Sample schema:
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 from PIL import Image

@@ -11,8 +11,7 @@ from __future__ import annotations
 
 import collections
 import concurrent.futures
-import itertools
-from typing import Any, Dict, Iterable, Iterator, Optional
+from typing import Dict, Iterable, Iterator, Optional
 
 import numpy as np
 

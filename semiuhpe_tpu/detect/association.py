@@ -10,7 +10,7 @@ accepted only if the part box lies inside the body box (inside-IoU >
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -16,7 +16,7 @@ yolo.py:151-216) composes jitted forwards per scale.
 from __future__ import annotations
 
 import math
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Sequence
 
 import flax.linen as nn
 import jax

@@ -7,7 +7,7 @@ follow the EfficientNetV2 paper (arXiv 2104.00298) / torchvision.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

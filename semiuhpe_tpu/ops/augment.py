@@ -18,7 +18,7 @@ zero-fill on normalized tensors (ImageNet-mean gray).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

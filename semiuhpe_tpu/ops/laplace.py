@@ -24,7 +24,6 @@ rotation_laplace.py:58-72).
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
