@@ -43,17 +43,29 @@ def main(argv=None):
                         args.conf_thres_det, args.iou_thres_det,
                         args.match_iou_thres)
 
-    img = cv2.imread(args.img_path)
-    assert img is not None, f"cannot read {args.img_path}"
-    bboxes, points, scores = detector.detect_heads(img)
+    import os
 
-    # Keep only body detections with a matched head (image.py:186-190).
-    head_bboxes = [p[0][3:7] for p in points if p[0][2] != 0]
-    out = render_heads(img, pose, renderer, head_bboxes, alpha=args.alpha)
-    out_path = args.img_path[:-4] + "_res_BPJDetSemiUHPE.jpg"
-    cv2.imwrite(out_path, out)
-    print(f"{len(head_bboxes)} heads -> {out_path}")
-    return out_path
+    if os.path.isdir(args.img_path):
+        paths = [os.path.join(args.img_path, n)
+                 for n in sorted(os.listdir(args.img_path))
+                 if n.lower().endswith((".jpg", ".jpeg", ".png"))]
+    else:
+        paths = [args.img_path]
+
+    outs = []
+    for path in paths:
+        img = cv2.imread(path)
+        assert img is not None, f"cannot read {path}"
+        bboxes, points, scores = detector.detect_heads(img)
+
+        # Keep only body detections with a matched head (image.py:186-190).
+        head_bboxes = [p[0][3:7] for p in points if p[0][2] != 0]
+        out = render_heads(img, pose, renderer, head_bboxes, alpha=args.alpha)
+        out_path = path[:-4] + "_res_BPJDetSemiUHPE.jpg"
+        cv2.imwrite(out_path, out)
+        print(f"{len(head_bboxes)} heads -> {out_path}")
+        outs.append(out_path)
+    return outs if os.path.isdir(args.img_path) else outs[0]
 
 
 if __name__ == "__main__":

@@ -64,9 +64,12 @@ class EfficientNetV2(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        # torchvision EfficientNetV2 uses BN eps 1e-3 (matters when importing
+        # pretrained torch weights).
+        eps = 1e-3
         cfg = _CONFIGS[self.variant]
         x = ConvBN(cfg["stem"], 3, 2, activation=nn.silu, dtype=self.dtype,
-                   axis_name=self.axis_name)(x, train)
+                   axis_name=self.axis_name, bn_eps=eps)(x, train)
         total_blocks = sum(s[5] for s in cfg["stages"])
         block_id = 0
         for kind, expand, kernel, stride, ch, layers, use_se in cfg["stages"]:
@@ -75,14 +78,16 @@ class EfficientNetV2(nn.Module):
                 s = stride if j == 0 else 1
                 if kind == "fused":
                     x = FusedMBConv(ch, expand, kernel, s, drop_rate=rate,
-                                    dtype=self.dtype, axis_name=self.axis_name)(x, train)
+                                    dtype=self.dtype, axis_name=self.axis_name,
+                                    bn_eps=eps)(x, train)
                 else:
                     x = MBConv(ch, expand, kernel, s,
                                se_ratio=0.25 if use_se else 0.0, drop_rate=rate,
-                               dtype=self.dtype, axis_name=self.axis_name)(x, train)
+                               dtype=self.dtype, axis_name=self.axis_name,
+                               bn_eps=eps)(x, train)
                 block_id += 1
         x = ConvBN(1280, 1, 1, activation=nn.silu, dtype=self.dtype,
-                   axis_name=self.axis_name)(x, train)
+                   axis_name=self.axis_name, bn_eps=eps)(x, train)
         x = jnp.mean(x, axis=(1, 2))
         x = RegressionHead(self.head_hidden, self.num_outputs, dropout=0.2,
                            dtype=self.dtype, axis_name=self.axis_name)(x, train)

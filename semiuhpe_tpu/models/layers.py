@@ -31,6 +31,7 @@ class ConvBN(nn.Module):
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
     padding: Optional[int] = None
+    bn_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -47,7 +48,7 @@ class ConvBN(nn.Module):
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
-            epsilon=1e-5,
+            epsilon=self.bn_eps,
             dtype=self.dtype,
             axis_name=self.axis_name if train else None,
         )(x)
@@ -101,6 +102,7 @@ class MBConv(nn.Module):
     activation: Callable = nn.silu
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
+    bn_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -109,14 +111,14 @@ class MBConv(nn.Module):
         residual = x
         if self.expand_ratio != 1:
             x = ConvBN(hidden, 1, 1, activation=self.activation, dtype=self.dtype,
-                       axis_name=self.axis_name)(x, train)
+                       axis_name=self.axis_name, bn_eps=self.bn_eps)(x, train)
         x = ConvBN(hidden, self.kernel_size, self.strides, groups=hidden,
                    activation=self.activation, dtype=self.dtype,
-                   axis_name=self.axis_name)(x, train)
+                   axis_name=self.axis_name, bn_eps=self.bn_eps)(x, train)
         if self.se_ratio > 0:
             x = SqueezeExcite(max(1, int(inp * self.se_ratio)), dtype=self.dtype)(x)
         x = ConvBN(self.features, 1, 1, activation=None, dtype=self.dtype,
-                   axis_name=self.axis_name)(x, train)
+                   axis_name=self.axis_name, bn_eps=self.bn_eps)(x, train)
         if self.strides == 1 and inp == self.features:
             x = StochasticDepth(self.drop_rate)(x, train) + residual
         return x
@@ -133,6 +135,7 @@ class FusedMBConv(nn.Module):
     activation: Callable = nn.silu
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
+    bn_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -142,13 +145,13 @@ class FusedMBConv(nn.Module):
         if self.expand_ratio != 1:
             x = ConvBN(hidden, self.kernel_size, self.strides,
                        activation=self.activation, dtype=self.dtype,
-                       axis_name=self.axis_name)(x, train)
+                       axis_name=self.axis_name, bn_eps=self.bn_eps)(x, train)
             x = ConvBN(self.features, 1, 1, activation=None, dtype=self.dtype,
-                       axis_name=self.axis_name)(x, train)
+                       axis_name=self.axis_name, bn_eps=self.bn_eps)(x, train)
         else:
             x = ConvBN(self.features, self.kernel_size, self.strides,
                        activation=self.activation, dtype=self.dtype,
-                       axis_name=self.axis_name)(x, train)
+                       axis_name=self.axis_name, bn_eps=self.bn_eps)(x, train)
         if self.strides == 1 and inp == self.features:
             x = StochasticDepth(self.drop_rate)(x, train) + residual
         return x
