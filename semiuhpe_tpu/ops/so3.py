@@ -27,9 +27,10 @@ def proper_svd(a: jnp.ndarray):
 
     Mirrors the det-correction convention of the reference
     (/root/reference/src/fisher/between_bingham_fisher.py:63-82) but runs
-    fully on-device under jit.
+    fully on-device under jit, with degeneracy-safe U/V gradients
+    (see :func:`safe_svd`).
     """
-    u, s, vt = jnp.linalg.svd(a, full_matrices=False)
+    u, s, vt = safe_svd(a)
     v = jnp.swapaxes(vt, -1, -2)
     # The correction signs are +/-1 and locally constant: keep them out of
     # the autodiff graph (the reference wraps them in no_grad similarly).
@@ -39,6 +40,46 @@ def proper_svd(a: jnp.ndarray):
     v = v.at[..., :, 2].multiply(det_v)
     s = s.at[..., 2].multiply((det_u * det_v)[..., 0])
     return u, s, v
+
+
+@jax.custom_jvp
+def safe_svd(a: jnp.ndarray):
+    """Batched 3x3 SVD whose U/V derivatives stay finite at (near-)repeated
+    singular values.
+
+    ``jnp.linalg.svd``'s JVP divides by the singular-gap ``s_j^2 - s_i^2``
+    and produces inf/NaN gradients when singular values collide — a real
+    hazard on the Fisher-CE path where the student's raw 9-dim output can
+    be nearly isotropic early in training.  Here the standard SVD
+    differential (dU = U (F o (P S + S P^T)), ds = diag(P),
+    dV = V (F o (S P + P^T S)) with P = U^T dA V) is used with the
+    Tikhonov-regularized gap inverse F_ij = gap / (gap^2 + eps) — exact
+    away from degeneracies, bounded at them.
+    """
+    u, s, vt = jnp.linalg.svd(a, full_matrices=False)
+    return u, s, vt
+
+
+@safe_svd.defjvp
+def _safe_svd_jvp(primals, tangents):
+    (a,) = primals
+    (da,) = tangents
+    u, s, vt = jnp.linalg.svd(a, full_matrices=False)
+    p = jnp.einsum("...ji,...jk,...lk->...il", u, da, vt)  # U^T dA V
+
+    s2 = s[..., :, None] ** 2
+    gap = s2.swapaxes(-1, -2) - s2  # gap_ij = s_j^2 - s_i^2
+    eps = 1e-6 * jnp.maximum(jnp.max(s2, axis=(-1, -2), keepdims=True), 1e-12)
+    f = gap / (gap * gap + eps)
+    f = f * (1.0 - jnp.eye(s.shape[-1], dtype=a.dtype))
+
+    ds = jnp.einsum("...ii->...i", p)
+    sp = p * s[..., None, :]        # P S   (scale columns)
+    ps = s[..., :, None] * p        # S P   (scale rows)
+    du = u @ (f * (sp + sp.swapaxes(-1, -2)))
+    dv = (f * (ps + ps.swapaxes(-1, -2)))
+    dvt = (jnp.swapaxes(vt, -1, -2) @ dv).swapaxes(-1, -2)
+    return (u, s, vt), (du, ds, dvt)
 
 
 def signed_singular_values(a: jnp.ndarray) -> jnp.ndarray:

@@ -306,3 +306,40 @@ class TestEuler:
         np.testing.assert_allclose(ang, 0.0, atol=2e-3)
         fro = np.asarray(so3.frobenius_rot_distance(jnp.asarray(r), jnp.asarray(r)))
         np.testing.assert_allclose(fro, 0.0, atol=1e-3)
+
+
+class TestSafeSVD:
+    def test_matches_plain_svd_gradients_when_well_separated(self, rng):
+        a = jnp.asarray(rng.normal(size=(4, 3, 3)).astype(np.float32) * 2)
+
+        def f_safe(a):
+            u, s, vt = so3.safe_svd(a)
+            return jnp.sum(u * 0.3 + vt * 0.7) + jnp.sum(s)
+
+        def f_plain(a):
+            u, s, vt = jnp.linalg.svd(a, full_matrices=False)
+            return jnp.sum(u * 0.3 + vt * 0.7) + jnp.sum(s)
+
+        g_safe = np.asarray(jax.grad(f_safe)(a))
+        g_plain = np.asarray(jax.grad(f_plain)(a))
+        np.testing.assert_allclose(g_safe, g_plain, rtol=1e-3, atol=1e-4)
+
+    def test_finite_at_repeated_singular_values(self):
+        """Plain SVD grads blow up here; safe_svd must stay finite."""
+        a = jnp.broadcast_to(jnp.eye(3) * 2.0, (2, 3, 3))  # s = (2, 2, 2)
+
+        def f(a):
+            u, s, vt = so3.safe_svd(a)
+            return jnp.sum(u) + jnp.sum(vt) + jnp.sum(s)
+
+        g = np.asarray(jax.grad(f)(a))
+        assert np.all(np.isfinite(g))
+
+    def test_ce_grad_finite_for_isotropic_student(self, rng):
+        """The motivating case: an early-training near-isotropic student
+        output must give finite Fisher-CE gradients."""
+        a1 = jnp.asarray(random_rotations(rng, 4)) * 4.0
+        a2 = jnp.broadcast_to(jnp.eye(3) * 1e-3, (4, 3, 3))
+
+        g = jax.grad(lambda a: jnp.mean(fisher.fisher_cross_entropy(a1, a)))(a2)
+        assert np.all(np.isfinite(np.asarray(g)))
