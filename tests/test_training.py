@@ -240,3 +240,31 @@ class TestDynamicThreshold:
         e = entropy_fn(state, _make_ulb_batch(rng, 8)["img"])
         assert e.shape == (8,)
         assert np.isfinite(np.asarray(e)).all()
+
+
+class TestSSLSharded:
+    def test_ssl_losses_match_single_device(self, net, rng):
+        """SSL step (teacher BN stats, masked CE, on-device augs with the
+        same rng) must produce identical losses sharded vs unsharded."""
+        mesh = make_mesh()
+        mk = lambda: steps_mod.make_ssl_step(
+            net, lr=1e-3, rotate_aug=True, cutout_aug=True, cutmix_aug=True,
+            stage1_iteration=0)
+        s1 = create_train_state(net, jax.random.key(0), (16, 16, 3), lr=1e-3)
+        s2 = create_train_state(net, jax.random.key(0), (16, 16, 3), lr=1e-3)
+        batch = _make_batch(rng, 16)
+        ulb = _make_ulb_batch(rng, 32)
+
+        plain = jax.jit(mk())
+        sharded = jit_step(mk(), mesh, n_batch_args=2, n_scalar_args=3,
+                           donate_state=False)
+        s2 = replicate(mesh, s2)
+        for i in range(2):
+            key = jax.random.key(i)
+            thr, lam = jnp.float32(0.0), jnp.float32(1.0)
+            s1, m1 = plain(s1, batch, ulb, key, thr, lam)
+            s2, m2 = sharded(s2, shard_batch(mesh, batch),
+                             shard_batch(mesh, ulb), key, thr, lam)
+            for k in ("loss", "unsuper_loss", "mask_ratio", "entropy_mean"):
+                np.testing.assert_allclose(float(m1[k]), float(m2[k]),
+                                           rtol=5e-4, atol=1e-6)
