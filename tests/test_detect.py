@@ -108,3 +108,27 @@ class TestAssociation:
         head = np.asarray([[100, 100, 120, 120, 0.8, 1.0, 0, 0]], np.float32)
         _, points, _ = associate_body_parts(shape, shape, body, head)
         assert points[0, 0, 2] == 0.0  # unmatched
+
+
+class TestHeadCrop:
+    def test_square_head_crop_geometry(self):
+        from semiuhpe_tpu.cli.infer_common import square_head_crop
+
+        img = np.zeros((200, 200, 3), np.uint8)
+        img[40:80, 60:100] = 255  # white head region
+        crop, used = square_head_crop(img, [60, 40, 100, 80],
+                                      edges_scale=-0.05, size=64)
+        assert crop.shape == (64, 64, 3)
+        # edges_scale -0.05 -> crop slightly larger than the head box.
+        x1, y1, x2, y2 = used
+        assert x1 < 60 and y1 < 40 and x2 > 100 and y2 > 80
+        # The (normalized) crop center should be bright (head content).
+        assert crop[32, 32].mean() > crop[2, 2].mean()
+
+    def test_crop_clipped_at_borders(self):
+        from semiuhpe_tpu.cli.infer_common import square_head_crop
+
+        img = np.zeros((100, 100, 3), np.uint8)
+        crop, used = square_head_crop(img, [0, 0, 30, 30], size=64)
+        assert crop.shape == (64, 64, 3)
+        assert used[0] >= 0 and used[1] >= 0
