@@ -203,10 +203,12 @@ def main(argv=None):
     step_timer = StepTimer()
     profiler_ctx = None
     epoch = 0
+    # Host-side iteration mirror of state.step: avoids a device round-trip
+    # (and dispatch serialization) every step.
+    it = int(jax.device_get(state.step))
 
-    while int(jax.device_get(state.step)) < config.max_iteration:
+    while it < config.max_iteration:
         for data in train_loader:
-            it = int(jax.device_get(state.step))
             if it >= config.max_iteration:
                 break
 
@@ -319,7 +321,7 @@ def main(argv=None):
     save_checkpoint(config.model_dir, "last", jax.device_get(state))
     timing = step_timer.summary()
     if timing:
-        logger.log("timing", int(jax.device_get(state.step)), timing)
+        logger.log("timing", it, timing)
     mem = device_memory_stats()
     if mem:
         logger.line(f"device memory: {mem}")
