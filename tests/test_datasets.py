@@ -231,3 +231,27 @@ class TestDAD3DHeads:
         ds3 = make_dad3dheads("train", Cfg(data_dir_DAD3DHeads=str(root),
                                            is_full_range=True))
         assert len(ds3) == 2
+
+
+class TestEvalConversions:
+    def test_dad_euler_extraction_roundtrip(self):
+        """cli.evaluate's full-range Euler extraction inverts the DAD label
+        convention used by the dataset builder."""
+        from scipy.spatial.transform import Rotation
+
+        from semiuhpe_tpu.cli.evaluate import euler_from_matrix_dad_convention
+
+        def dad_rot_from_euler(pitch, yaw, roll):
+            rt = Rotation.from_euler(
+                "xyz", [pitch + 180.0, yaw, roll], degrees=True).as_matrix()
+            return rt.T.astype(np.float32)
+
+        cases = [(10.0, 20.0, 5.0), (-30.0, 150.0, -10.0), (5.0, -120.0, 40.0)]
+        rots = np.stack([dad_rot_from_euler(*c) for c in cases])
+        out = euler_from_matrix_dad_convention(rots)
+        for (p, y, r), got in zip(cases, out):
+            # Euler triples are equivalent up to the (p+-180, 180-y, r+-180)
+            # aliasing; compare rotation matrices instead.
+            back = dad_rot_from_euler(*got)
+            np.testing.assert_allclose(back, dad_rot_from_euler(p, y, r),
+                                       atol=1e-4)
