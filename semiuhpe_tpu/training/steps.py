@@ -28,13 +28,15 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from semiuhpe_tpu.ops import fisher, laplace, so3
 from semiuhpe_tpu.ops.augment import random_cutmix, random_cutout
 from semiuhpe_tpu.training.state import TrainState, make_optimizer
 
-ROT_180 = jnp.asarray([[1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]])
+# numpy (not jnp) so importing this module never initializes a backend.
+ROT_180 = np.diag([1.0, -1.0, -1.0]).astype(np.float32)
 
 
 def error_degrees(pred_rot, gt_rot, gt_euler=None):
