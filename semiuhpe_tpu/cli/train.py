@@ -137,6 +137,9 @@ def main(argv=None):
     config.eval_batch_size = _round_up(config.eval_batch_size, n_dev)
     train_loader = Loader(train_set, batch, shuffle=True, drop_last=True,
                           num_workers=config.num_workers)
+    assert len(train_loader) > 0, (
+        f"labeled set ({len(train_set)} samples) smaller than one batch "
+        f"({batch}); lower --batch_size or raise --ss_ratio")
     test_loader = Loader(test_set, config.eval_batch_size, shuffle=False,
                          drop_last=False, num_workers=config.num_workers)
 

@@ -34,8 +34,19 @@ def get_dataset(name: str, phase: str, config):
         from semiuhpe_tpu.data.datasets.biwi import make_biwi
         return make_biwi(name, phase, config)
     if name == "synthetic":
+        total = getattr(config, "synthetic_size", 512)
+        ss_ratio = getattr(config, "ss_ratio", 1.0)
+        # Semi-supervised split: 'train' = first ss_ratio fraction,
+        # 'ulb_train' = disjoint complement; 'test' = a different seed.
+        n_labeled = max(1, int(total * ss_ratio))
+        if phase == "train":
+            n, offset = n_labeled, 0
+        elif phase == "ulb_train":
+            n, offset = max(1, total - n_labeled), n_labeled
+        else:  # test / train_all
+            n, offset = total, 0
         return SyntheticHeadPose(
-            n=getattr(config, "synthetic_size", 512),
+            n=n, offset=offset,
             augment_strong=(phase == "ulb_train"),
             rotate_aug=getattr(config, "rotate_aug", False),
             full_range=getattr(config, "is_full_range", False),

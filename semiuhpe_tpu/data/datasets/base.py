@@ -72,18 +72,24 @@ class SyntheticHeadPose:
 
     def __init__(self, n: int = 512, augment_strong: bool = False,
                  rotate_aug: bool = False, full_range: bool = False,
-                 seed: int = 0, size: int = CROP_SIZE):
+                 seed: int = 0, size: int = CROP_SIZE, offset: int = 0):
+        """``offset`` shifts the pose-index space so labeled (phase 'train')
+        and unlabeled (phase 'ulb_train') splits are disjoint — the
+        semi-supervised label-scarce regime of the reference's ss_ratio
+        split (dataset_300WLP.py:264-305) on synthetic data."""
         self.n = n
+        self.offset = offset
         self.augment_strong = augment_strong
         self.rotate_aug = rotate_aug
         self.size = size
+        total = n + offset
         base = np.random.default_rng(seed)
         lim = 179.0 if full_range else 75.0
         self.eulers = np.stack([
-            base.uniform(-75.0, 75.0, n),
-            base.uniform(-lim, lim, n),
-            base.uniform(-75.0, 75.0, n),
-        ], -1).astype(np.float32)  # (pitch, yaw, roll) degrees
+            base.uniform(-75.0, 75.0, total),
+            base.uniform(-lim, lim, total),
+            base.uniform(-75.0, 75.0, total),
+        ], -1).astype(np.float32)[offset:]  # (pitch, yaw, roll) degrees
         self.seed = seed
 
     def __len__(self):
@@ -91,7 +97,8 @@ class SyntheticHeadPose:
 
     def __getitem__(self, idx: int):
         idx = idx % self.n
-        rng = np.random.default_rng((self.seed + 1) * 1_000_003 + idx)
+        rng = np.random.default_rng(
+            (self.seed + 1) * 1_000_003 + self.offset + idx)
         pitch, yaw, roll = self.eulers[idx]
         rot = euler_to_rot_np(pitch, yaw, roll)
         img = render_pose_image(rot, self.size, rng)

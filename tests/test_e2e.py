@@ -11,6 +11,7 @@ ARGS = [
     "--train_labeled", "synthetic", "--train_unlabeled", "synthetic",
     "--test_set", "synthetic", "--network", "tiny", "--input_size", "32",
     "--synthetic_size", "64", "--batch_size", "8", "--ulb_batch_ratio", "2",
+    "--ss_ratio", "0.5",
     "--stage1_iteration", "6", "--max_iteration", "12",
     "--log_frequency", "3", "--val_frequency", "6", "--save_frequency", "6",
     "--eval_batch_size", "32", "--dtype", "float32",
