@@ -74,3 +74,20 @@ def test_shape_mismatch_raises():
            for i, (k, v) in enumerate(sd.items())}
     with pytest.raises(ValueError):
         convert_state_dict(template, bad)
+
+
+def test_npz_variables_roundtrip(tmp_path):
+    """Detector variables can be stored/loaded as npz (pre-converted form)."""
+    import jax
+    from semiuhpe_tpu.detect import yolov5_bpjdet
+    from semiuhpe_tpu.detect.convert import load_bpjdet_weights, save_variables_npz
+
+    model = yolov5_bpjdet("s6")
+    v = model.init({"params": jax.random.key(0)},
+                   jnp.zeros((1, 128, 128, 3)), train=False)
+    path = str(tmp_path / "det.npz")
+    save_variables_npz(v, path)
+    v2 = load_bpjdet_weights(model, path)
+    for a, b in zip(jax.tree_util.tree_leaves(v),
+                    jax.tree_util.tree_leaves(v2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
