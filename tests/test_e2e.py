@@ -112,3 +112,45 @@ def test_nll_unsuper_variant(exp_dir):
         ARGS + ["--exp_dir", exp_dir, "--type_unsuper", "nll",
                 "--exp_name", "nll"])
     assert np.isfinite(best_err)
+
+
+@pytest.mark.e2e
+def test_dad3dheads_submission_writer(exp_dir, tmp_path):
+    """eval_dad3dheads CLI: DAD test-split fixture -> benchmark JSON."""
+    import json
+
+    from PIL import Image
+    import numpy as np_
+
+    from semiuhpe_tpu.cli import eval_dad3dheads as dad_cli
+
+    ckpts = []
+    for root, dirs, _ in os.walk(exp_dir):
+        if "best" in dirs and root.endswith("model"):
+            ckpts.append(os.path.join(root, "best"))
+    if not ckpts:
+        pytest.skip("needs the checkpoint from test_train_then_eval")
+
+    db = tmp_path / "dad"
+    os.makedirs(db / "test/images")
+    items = []
+    rng = np_.random.default_rng(0)
+    for i in range(3):
+        item_id = f"t{i}"
+        Image.fromarray(rng.integers(0, 255, (120, 120, 3), np_.uint8)).save(
+            db / "test/images" / f"{item_id}.png")
+        items.append({"item_id": item_id, "bbox": [20, 20, 70, 80],
+                      "attributes": {}})
+    with open(db / "test/test.json", "w") as f:
+        json.dump(items, f)
+
+    out_path = dad_cli.main(
+        [ckpts[0], "--data_dir_DAD3DHeads", str(db), "--network", "tiny",
+         "--input_size", "32", "--dtype", "float32", "--eval_batch_size", "2",
+         "--exp_dir", str(tmp_path / "exps")])
+    result = json.load(open(out_path))
+    assert len(result) == 3
+    for item_id, entry in result.items():
+        rot = np_.asarray(entry["rotation_matrix"])
+        assert rot.shape == (3, 3)
+        np_.testing.assert_allclose(rot @ rot.T, np_.eye(3), atol=1e-4)
