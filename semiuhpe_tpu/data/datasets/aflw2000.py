@@ -17,13 +17,7 @@ from PIL import Image
 
 from semiuhpe_tpu.data.augments_host import normalize
 from semiuhpe_tpu.data.crops import head_crop_from_landmarks
-from semiuhpe_tpu.data.datasets.base import euler_to_rot_np
-
-
-def _wrap(angle: float) -> float:
-    while abs(angle) > 180:
-        angle = angle - np.sign(angle) * 360
-    return float(angle)
+from semiuhpe_tpu.data.datasets.base import euler_to_rot_np, wrap_angle_180
 
 
 class DatasetAFLW2000:
@@ -38,7 +32,8 @@ class DatasetAFLW2000:
     def __getitem__(self, idx: int):
         img = Image.open(self.img_files[idx]).convert("RGB")
         mat = sio.loadmat(self.anno_files[idx])
-        pitch, yaw, roll = (_wrap(a) for a in np.degrees(mat["Pose_Para"][0][:3]))
+        pitch, yaw, roll = (wrap_angle_180(a)
+                            for a in np.degrees(mat["Pose_Para"][0][:3]))
         crop = head_crop_from_landmarks(img, mat["pt2d"], ad=0.2,
                                         out_size=self.out_size)
         tensor = normalize(crop).astype(np.float32)
@@ -60,7 +55,8 @@ def make_aflw2000(phase: str, config):
                   if isfile(join(path, f)) and f.endswith(".jpg"))
     keep_j, keep_m = [], []
     for m, j in zip(mats, jpgs):
-        angles = [_wrap(a) for a in np.degrees(sio.loadmat(m)["Pose_Para"][0][:3])]
+        angles = [wrap_angle_180(a)
+                  for a in np.degrees(sio.loadmat(m)["Pose_Para"][0][:3])]
         if all(abs(a) < 90 for a in angles):
             keep_m.append(m)
             keep_j.append(j)

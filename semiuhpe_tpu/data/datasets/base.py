@@ -23,6 +23,20 @@ class HeadPoseDataset(Protocol):
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]: ...
 
 
+def wrap_angle_180(angle: float) -> float:
+    """Wrap a degree angle into [-180, 180] (reference idiom repeated in
+    every dataset module, e.g. dataset_300WLP.py:181-183)."""
+    while abs(angle) > 180:
+        angle = angle - np.sign(angle) * 360
+    return float(angle)
+
+
+def wrap_clip_89(angle: float) -> float:
+    """Wrap to +-180 then clip to +-89.99 (front-range label sanitation,
+    dataset_300WLP.py:181-187)."""
+    return float(np.clip(wrap_angle_180(angle), -89.99, 89.99))
+
+
 def euler_to_rot_np(pitch_deg, yaw_deg, roll_deg) -> np.ndarray:
     """R = Rz(roll) Ry(yaw) Rx(pitch), pure numpy (loader workers must not
     touch the accelerator).  Same convention as ops.so3.euler_to_matrix and

@@ -14,13 +14,7 @@ from PIL import Image
 
 from semiuhpe_tpu.data.augments_host import (
     aug_rot_mat_z, normalize, weak_strong_views)
-from semiuhpe_tpu.data.datasets.base import euler_to_rot_np
-
-
-def _wrap_clip(angle: float) -> float:
-    while abs(angle) > 180:
-        angle = angle - np.sign(angle) * 360
-    return float(np.clip(angle, -89.99, 89.99))
+from semiuhpe_tpu.data.datasets.base import euler_to_rot_np, wrap_clip_89
 
 
 class DatasetBIWI:
@@ -41,7 +35,7 @@ class DatasetBIWI:
         idx = idx % len(self.images)
         rng = (np.random.default_rng() if self.seed is None
                else np.random.default_rng(self.seed * 11_000_023 + idx))
-        yaw, pitch, roll = (_wrap_clip(a) for a in self.poses[idx])
+        yaw, pitch, roll = (wrap_clip_89(a) for a in self.poses[idx])
         img = Image.fromarray(self.images[idx].astype(np.uint8)).resize(
             (self.out_size, self.out_size))
 

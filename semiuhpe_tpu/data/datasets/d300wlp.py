@@ -26,7 +26,7 @@ from PIL import Image
 
 from semiuhpe_tpu.data.augments_host import aug_rot_mat_z, weak_strong_views
 from semiuhpe_tpu.data.crops import head_crop_from_landmarks
-from semiuhpe_tpu.data.datasets.base import euler_to_rot_np
+from semiuhpe_tpu.data.datasets.base import euler_to_rot_np, wrap_clip_89
 
 SUBSETS = ("AFW", "HELEN", "IBUG", "LFPW")
 
@@ -48,12 +48,6 @@ def load_landmarks(anno_path: str, img_w: int) -> np.ndarray:
     if flipped:
         pt2d[0, :] = img_w - pt2d[0, :]
     return pt2d
-
-
-def _wrap_clip(angle: float) -> float:
-    while abs(angle) > 180:
-        angle = angle - np.sign(angle) * 360
-    return float(np.clip(angle, -89.99, 89.99))
 
 
 class Dataset300WLP:
@@ -85,7 +79,7 @@ class Dataset300WLP:
         ad = rng.uniform() * 0.2 + 0.2
         crop = head_crop_from_landmarks(img, pt2d, ad, self.out_size)
 
-        pitch, yaw, roll = map(_wrap_clip, (pitch, yaw, roll))
+        pitch, yaw, roll = map(wrap_clip_89, (pitch, yaw, roll))
         flip = rng.uniform() < 0.5
         if flip:
             yaw, roll = -yaw, -roll

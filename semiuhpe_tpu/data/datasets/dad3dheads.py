@@ -23,6 +23,7 @@ from PIL import Image
 
 from semiuhpe_tpu.data.augments_host import normalize
 from semiuhpe_tpu.data.crops import head_crop_from_bbox
+from semiuhpe_tpu.data.datasets.base import wrap_angle_180
 from semiuhpe_tpu.ops.so3 import limit_angle
 
 ROT_180_4 = np.diag([1.0, -1.0, -1.0, 1.0])
@@ -40,12 +41,8 @@ def pose_label_from_annotation(anno: dict) -> tuple[np.ndarray, list]:
     yaw = limit_angle(ay)
     roll = limit_angle(az)
 
-    def wrap(a):
-        while abs(a) > 180:
-            a -= np.sign(a) * 360
-        return a
-
-    return rot, [wrap(pitch), wrap(yaw), wrap(roll)]
+    return rot, [wrap_angle_180(pitch), wrap_angle_180(yaw),
+                 wrap_angle_180(roll)]
 
 
 def build_pose_list(db_path: str, split: str, is_full_range: bool):
