@@ -29,7 +29,7 @@ full-range SSL; a shear/FFT formulation is a round-2 candidate.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
