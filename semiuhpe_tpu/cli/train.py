@@ -86,6 +86,18 @@ def save_visual_fixtures(log_dir, batch, prefix, limit=10):
         cv2.imwrite(path, denormalize(img)[:, :, ::-1])
 
 
+def ulb_entropy_images(batch):
+    """The image tensor the dynamic-threshold sweep scores: the weak view,
+    or (device_views mode) the normalized raw crop."""
+    if "img" in batch:
+        return batch["img"]
+    from semiuhpe_tpu.ops.views import normalize_u8
+
+    import jax.numpy as _jnp
+
+    return normalize_u8(_jnp.asarray(batch["img_raw"]))
+
+
 def pad_to(batch, size):
     """Pad a possibly-short batch to ``size`` rows; returns (batch, n_valid)."""
     n = len(next(iter(batch.values())))
@@ -174,7 +186,7 @@ def main(argv=None):
         cutout_aug=config.cutout_aug, cutmix_aug=config.cutmix_aug,
         is_ema=config.is_ema, eman=config.eman, ema_decay=config.ema_decay,
         stage1_iteration=config.stage1_iteration, grids9=grids9,
-        grad_clip=config.grad_clip)
+        grad_clip=config.grad_clip, device_views=config.device_views)
     # Fast step for most iterations; diagnostic step (extra SVD metrics,
     # ~9% slower) only on logging iterations.
     ssl_step_fast = jit_step(
@@ -249,7 +261,7 @@ def main(argv=None):
                 n_imgs = batch
             else:
                 ulb_data = next(ulb_iter)  # already sharded on the mesh
-                if it < config.stage1_iteration + 2:
+                if it < config.stage1_iteration + 2 and "img_strong" in ulb_data:
                     save_visual_fixtures(
                         config.log_dir,
                         jax.device_get(ulb_data["img_strong"]),
@@ -299,7 +311,9 @@ def main(argv=None):
                 if config.dynamic_thres:
                     conf_thres = steps_mod.dynamic_entropy_threshold(
                         lambda st, img: entropy_fn(st, jax.device_put(img)),
-                        state, iter(ulb_loader), config.left_ratio)
+                        state,
+                        ({"img": ulb_entropy_images(b)} for b in ulb_loader),
+                        config.left_ratio)
                     logger.log("settings", it, {"conf_thres": conf_thres})
                 if feature_fn is not None:
                     # save_feat: dump {idx: [penultimate_feat, entropy]} for
@@ -308,7 +322,8 @@ def main(argv=None):
 
                     feats = {}
                     for b in ulb_loader:
-                        e, f = feature_fn(state, jax.device_put(b["img"]))
+                        e, f = feature_fn(
+                            state, jax.device_put(ulb_entropy_images(b)))
                         for bi, ei, fi in zip(b["idx"], np.asarray(e),
                                               np.asarray(f)):
                             feats[str(int(bi))] = [fi.tolist(), float(ei)]

@@ -104,6 +104,11 @@ def build_parser(phase: str) -> argparse.ArgumentParser:
     p.add_argument("--cutout_aug", type=str2bool, default=False)
     p.add_argument("--cutmix_aug", type=str2bool, default=False)
     p.add_argument("--save_feat", type=str2bool, default=False)
+    p.add_argument("--device_views", type=str2bool, default=False,
+                   help="generate unlabeled weak/strong views on device from "
+                        "raw uint8 crops (ops/views.py) — 5.4x less host "
+                        "work; flip aug is skipped in this mode and "
+                        "rotate_aug uses the (slower) device warp")
 
     # test
     p.add_argument("--eval_batch_size", type=int, default=64)

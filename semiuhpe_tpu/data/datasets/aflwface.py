@@ -37,4 +37,5 @@ def make_aflwface(phase: str, config):
     img_files, landmarks = scan_aflwface(config.data_dir_AFLWFace)
     return UnlabeledHeads(img_files, landmarks, landmarks=True,
                           rotate_aug=getattr(config, "rotate_aug", False),
-                          out_size=getattr(config, "input_size", 224))
+                          out_size=getattr(config, "input_size", 224),
+                          raw_views=getattr(config, "device_views", False))

@@ -86,7 +86,8 @@ class SyntheticHeadPose:
 
     def __init__(self, n: int = 512, augment_strong: bool = False,
                  rotate_aug: bool = False, full_range: bool = False,
-                 seed: int = 0, size: int = CROP_SIZE, offset: int = 0):
+                 seed: int = 0, size: int = CROP_SIZE, offset: int = 0,
+                 raw_views: bool = False):
         """``offset`` shifts the pose-index space so labeled (phase 'train')
         and unlabeled (phase 'ulb_train') splits are disjoint — the
         semi-supervised label-scarce regime of the reference's ss_ratio
@@ -96,6 +97,7 @@ class SyntheticHeadPose:
         self.augment_strong = augment_strong
         self.rotate_aug = rotate_aug
         self.size = size
+        self.raw_views = raw_views
         total = n + offset
         base = np.random.default_rng(seed)
         lim = 179.0 if full_range else 75.0
@@ -116,6 +118,16 @@ class SyntheticHeadPose:
         pitch, yaw, roll = self.eulers[idx]
         rot = euler_to_rot_np(pitch, yaw, roll)
         img = render_pose_image(rot, self.size, rng)
+        if self.raw_views:
+            # Device-side view mode (ops/views.py): ship the raw uint8 base
+            # crop; the train step generates weak/strong views + aug_rot_mat
+            # on device and adjusts labels there.
+            return {
+                "idx": np.int32(idx),
+                "rot_mat": rot.astype(np.float32),
+                "euler_angles": np.asarray([pitch, yaw, roll], np.float32),
+                "img_raw": np.asarray(img, np.uint8),
+            }
         weak, strong, rot_angle = weak_strong_views(
             rng, img, augment_strong=self.augment_strong,
             rotate_aug=self.rotate_aug, flip=False, out_size=self.size)

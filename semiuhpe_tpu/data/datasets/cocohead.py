@@ -48,4 +48,5 @@ def make_cocohead(phase: str, config):
     img_files, bboxes = scan_cocohead(config.data_dir_COCOHead)
     return UnlabeledHeads(img_files, bboxes, ad_base=0.1, top_scale=1.0,
                           rotate_aug=getattr(config, "rotate_aug", False),
-                          out_size=getattr(config, "input_size", 224))
+                          out_size=getattr(config, "input_size", 224),
+                          raw_views=getattr(config, "device_views", False))

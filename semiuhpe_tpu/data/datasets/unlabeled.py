@@ -23,7 +23,8 @@ class UnlabeledHeads:
     def __init__(self, img_files: Sequence[str], bboxes: Sequence,
                  ad_base: float = 0.1, top_scale: float = 1.0,
                  rotate_aug: bool = False, out_size: int = 224,
-                 landmarks: bool = False, seed: Optional[int] = None):
+                 landmarks: bool = False, seed: Optional[int] = None,
+                 raw_views: bool = False):
         self.img_files = list(img_files)
         self.bboxes = list(bboxes)
         self.ad_base = ad_base
@@ -32,6 +33,7 @@ class UnlabeledHeads:
         self.out_size = out_size
         self.landmarks = landmarks
         self.seed = seed
+        self.raw_views = raw_views
 
     def __len__(self):
         return len(self.img_files)
@@ -49,6 +51,9 @@ class UnlabeledHeads:
             ad = rng.uniform() * 0.1 + self.ad_base
             crop = head_crop_from_bbox(img, self.bboxes[idx], ad, self.out_size,
                                        top_scale=self.top_scale)
+        if self.raw_views:
+            return {"idx": np.int32(idx),
+                    "img_raw": np.asarray(crop, np.uint8)}
         flip = rng.uniform() < 0.5
         weak, strong, rot_angle = weak_strong_views(
             rng, crop, augment_strong=True, rotate_aug=self.rotate_aug,

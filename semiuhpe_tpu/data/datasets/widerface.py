@@ -53,4 +53,5 @@ def make_widerface(phase: str, config):
             bboxes += b
     return UnlabeledHeads(img_files, bboxes, ad_base=0.1, top_scale=2.0,
                           rotate_aug=getattr(config, "rotate_aug", False),
-                          out_size=getattr(config, "input_size", 224))
+                          out_size=getattr(config, "input_size", 224),
+                          raw_views=getattr(config, "device_views", False))

@@ -33,6 +33,7 @@ import optax
 
 from semiuhpe_tpu.ops import fisher, laplace, so3
 from semiuhpe_tpu.ops.augment import random_cutmix, random_cutout
+from semiuhpe_tpu.ops.views import make_views
 from semiuhpe_tpu.training.state import TrainState, make_optimizer
 
 # numpy (not jnp) so importing this module never initializes a backend.
@@ -128,6 +129,7 @@ def make_ssl_step(
     grids9=None,
     with_diagnostics: bool = True,
     grad_clip: float = 0.0,
+    device_views: bool = False,
 ) -> Callable:
     """Stage-2 SSL step (reference train_func + forward, agent.py:61-218).
 
@@ -143,8 +145,23 @@ def make_ssl_step(
     tx = make_optimizer(lr, grad_clip)
 
     def step(state: TrainState, batch, ulb_batch, rng, conf_thres, ssl_lambda):
-        rng_teacher, rng_student, rng_sup, rng_cutout, rng_cutmix = (
-            jax.random.split(rng, 5))
+        (rng_teacher, rng_student, rng_sup, rng_cutout, rng_cutmix,
+         rng_views) = jax.random.split(rng, 6)
+
+        if device_views:
+            # Unlabeled weak/strong views generated on device from the raw
+            # uint8 crop (ops/views.py); labels adjusted with the device-
+            # sampled aug_rot_mat exactly like the host pipeline
+            # (dataset_300WLP.py:195-201).
+            views = make_views(rng_views, ulb_batch["img_raw"],
+                               ulb_batch["img_raw"].shape[1],
+                               rotate_aug=rotate_aug)
+            new_ulb = {"img": views["img"], "img_strong": views["img_strong"],
+                       "aug_rot_mat": views["aug_rot_mat"]}
+            if "rot_mat" in ulb_batch:
+                new_ulb["rot_mat"] = jnp.matmul(views["aug_rot_mat"],
+                                                ulb_batch["rot_mat"])
+            ulb_batch = new_ulb
 
         # --- EMA teacher update (before fwd/bwd, warmup keyed to stage-2 iter).
         stage2_iter = state.step - stage1_iteration

@@ -154,3 +154,14 @@ def test_dad3dheads_submission_writer(exp_dir, tmp_path):
         rot = np_.asarray(entry["rotation_matrix"])
         assert rot.shape == (3, 3)
         np_.testing.assert_allclose(rot @ rot.T, np_.eye(3), atol=1e-4)
+
+
+@pytest.mark.e2e
+def test_device_views_train(exp_dir):
+    """SSL training with on-device view generation (--device_views)."""
+    from semiuhpe_tpu.cli import train as train_cli
+
+    best_err = train_cli.main(
+        ARGS + ["--exp_dir", exp_dir, "--device_views", "true",
+                "--exp_name", "dv"])
+    assert np.isfinite(best_err) and best_err < 360

@@ -268,3 +268,22 @@ class TestSSLSharded:
             for k in ("loss", "unsuper_loss", "mask_ratio", "entropy_mean"):
                 np.testing.assert_allclose(float(m1[k]), float(m2[k]),
                                            rtol=5e-4, atol=1e-6)
+
+
+class TestDeviceViews:
+    def test_ssl_step_with_raw_ulb(self, net, state, rng):
+        """SSL step consuming raw uint8 unlabeled crops (device_views)."""
+        step = jax.jit(steps_mod.make_ssl_step(
+            net, lr=1e-3, rotate_aug=True, cutout_aug=True, cutmix_aug=True,
+            stage1_iteration=0, device_views=True))
+        batch = _make_batch(rng, 8)
+        raw = (np.clip(rng.normal(size=(16, 16, 16, 3)) * 40 + 128, 0, 255)
+               ).astype(np.uint8)
+        ulb = {"img_raw": jnp.asarray(raw),
+               "rot_mat": jnp.asarray(random_rotations(rng, 16))}
+        state, m = step(state, batch, ulb, jax.random.key(0),
+                        jnp.float32(0.0), jnp.float32(1.0))
+        for k in ("loss", "unsuper_loss", "loss_all", "entropy_mean",
+                  "err_weakAll_gt"):
+            assert np.isfinite(float(m[k])), k
+        assert 0.0 <= float(m["mask_ratio"]) <= 1.0
