@@ -173,6 +173,15 @@ def main(argv=None):
         state = jax.jit(
             lambda k: create_train_state(net, k, (config.input_size, config.input_size, 3), config.lr, dtype)
         )(jax.random.key(config.seed))
+    if config.pretrained:
+        # Backbone trunk from a torch checkpoint (student AND teacher, like
+        # the reference's two pretrained get_network calls, agent.py:31-35).
+        from semiuhpe_tpu.models.convert import (load_torch_checkpoint,
+                                                 pretrained_into_state)
+        state = pretrained_into_state(
+            jax.device_get(state), net, load_torch_checkpoint(config.pretrained),
+            (config.input_size, config.input_size, 3), config.network)
+        logger.line(f"initialized backbone trunk from {config.pretrained}")
     state = replicate(mesh, state)
 
     # ----- steps -----

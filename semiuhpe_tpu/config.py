@@ -72,6 +72,11 @@ def build_parser(phase: str) -> argparse.ArgumentParser:
                    help="mobilenet|resnet18|resnet50|repvgg|effinetv2|effinet|tinyvit")
     p.add_argument("--dtype", type=str, default="bfloat16",
                    help="compute dtype: float32|bfloat16")
+    p.add_argument("--pretrained", type=str, default=None,
+                   help="torch .pth/.pt checkpoint to initialize the backbone "
+                        "trunk from (torchvision resnet/efficientnet_v2 or "
+                        "official RepVGG layout; the regression head keeps "
+                        "its fresh init, reference networks.py:301-331)")
 
     # training
     p.add_argument("--lr", type=float, default=1e-4)

@@ -12,6 +12,18 @@ walking both sequences in parallel and matching tensors by role + shape
 any aligned pair of architectures without a hand-written name map.  Every
 leaf is shape-checked; a mismatch raises with both names so misalignments
 fail loudly rather than silently producing garbage weights.
+
+ORDERING CAVEAT (the round-1 bug this module now guards against): a flax
+variables dict preserves registration order only until it passes through a
+jax pytree operation — ``jax.jit``/``jax.eval_shape`` outputs have their
+dict keys re-sorted ALPHABETICALLY, which scrambles any module with >=10
+same-typed siblings (``MBConv_10`` sorts before ``MBConv_2``) or whose
+registration order differs from name order (EfficientNetV2's head
+``ConvBN_1`` sorts right after the stem ``ConvBN_0``).  Positional
+matching against a torch state_dict must therefore NEVER trust the
+template's iteration order; :func:`module_registration_order` recaptures
+the true order with an abstract trace, and the backbone importers below
+use it.
 """
 
 from __future__ import annotations
@@ -110,6 +122,163 @@ def convert_state_dict(flax_variables: Dict, state_dict,
             converted.append((fpath, _convert_leaf(fpath, fval, tname, tarr)))
         out[coll] = _unflatten(converted)
     return out
+
+
+def module_registration_order(module, input_shape, dtype=None, train=False):
+    """Flattened variable paths per collection, in registration order.
+
+    Runs ``module.init`` under ``jax.eval_shape`` (abstract — no FLOPs, no
+    device dispatch) and captures each collection's flattened key paths
+    *inside* the trace, before jax's pytree canonicalization re-sorts the
+    dict keys alphabetically.  ``input_shape`` is the single-sample shape,
+    e.g. ``(224, 224, 3)``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    captured: Dict[str, List[Tuple[str, ...]]] = {}
+
+    def f(k):
+        v = module.init(
+            {"params": k},
+            jnp.zeros((1,) + tuple(input_shape), dtype or jnp.float32),
+            train=train)
+        for coll in v:
+            captured[coll] = [p for p, _ in _flatten(v[coll])]
+        return 0
+
+    jax.eval_shape(f, jax.random.key(0))
+    return captured
+
+
+# Classifier-head key prefixes across the reference's checkpoint sources:
+# torchvision efficientnet ("classifier."), torchvision resnet ("fc."),
+# RepVGG official ("linear."), timm tinyvit ("head.").
+TORCH_HEAD_PREFIXES = ("classifier.", "fc.", "linear.", "head.")
+
+
+def import_torch_backbone(module, variables, state_dict, input_shape,
+                          flax_head_names=("RegressionHead_0",),
+                          torch_head_prefixes=TORCH_HEAD_PREFIXES,
+                          strict: bool = True) -> Dict:
+    """Import a torch classification checkpoint's trunk into flax variables.
+
+    Mirrors the reference's pretrained-backbone initialization
+    (/root/reference/src/networks.py:301-331,443-471): the torch
+    classifier head is dropped, our fresh RegressionHead keeps its
+    N(0, 0.01) init, and every trunk tensor is matched positionally in
+    module-registration order with role+shape checks.
+
+    ``variables`` may come from a jitted init (alphabetically re-sorted);
+    alignment uses :func:`module_registration_order`, not template order.
+    Returns a new variables dict with the same structure, trunk replaced.
+    """
+    order = module_registration_order(module, input_shape)
+    torch_seq = [(n, a) for n, a in torch_tensor_sequence(state_dict)
+                 if not n.startswith(tuple(torch_head_prefixes))]
+    t_params = [(n, a) for n, a in torch_seq
+                if not (n.endswith("running_mean") or n.endswith("running_var"))]
+    t_stats = [(n, a) for n, a in torch_seq
+               if n.endswith("running_mean") or n.endswith("running_var")]
+
+    out = {}
+    for coll, stream in (("params", t_params), ("batch_stats", t_stats)):
+        if coll not in variables:
+            continue
+        flat = {p: v for p, v in _flatten(variables[coll])}
+        ordered = order.get(coll, [])
+        if set(ordered) != set(flat):
+            raise ValueError(
+                f"{coll}: template paths disagree with a fresh init — "
+                "wrong module/variables pairing?")
+        trunk = [p for p in ordered if p[0] not in flax_head_names]
+        if strict and len(trunk) != len(stream):
+            raise ValueError(
+                f"{coll}: flax trunk has {len(trunk)} tensors, torch "
+                f"checkpoint has {len(stream)} — architectures misaligned")
+        new = dict(flat)
+        for p, (tname, tarr) in zip(trunk, stream):
+            new[p] = _convert_leaf(p, flat[p], tname, tarr)
+        out[coll] = _unflatten(list(new.items()))
+    for coll in variables:
+        out.setdefault(coll, variables[coll])
+    return out
+
+
+def import_repvgg_backbone(variables, state_dict,
+                           depths=(1, 4, 6, 16, 1)) -> Dict:
+    """Name-mapped import of an official RepVGG train-mode checkpoint.
+
+    Ordered matching does not apply here: the torch RepVGGBlock registers
+    ``rbr_identity`` BEFORE ``rbr_dense``/``rbr_1x1`` while our flax block
+    creates the identity BN last, so the mapping is explicit:
+    ``stage{s}[.j].rbr_dense.conv/bn -> dense_conv/dense_bn``,
+    ``rbr_1x1.conv/bn -> one_conv/one_bn``, ``rbr_identity -> id_bn``,
+    and the 1000-class ``linear.*`` head is dropped (the reference loads
+    weights/RepVGG-B1g2-train.pth the same way, networks.py:232-244).
+    """
+    sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach")
+              else np.asarray(v))
+          for k, v in state_dict.items()
+          if not k.endswith("num_batches_tracked")}
+
+    prefixes = []
+    for s, d in enumerate(depths):
+        if s == 0:
+            prefixes.append("stage0")
+        else:
+            prefixes.extend(f"stage{s}.{j}" for j in range(d))
+
+    params = {p: v for p, v in _flatten(variables["params"])}
+    stats = {p: v for p, v in _flatten(variables["batch_stats"])}
+
+    def put(tree, path, tname):
+        if tname not in sd:
+            raise ValueError(f"missing torch key {tname}")
+        tree[path] = _convert_leaf(path, tree[path], tname, sd[tname])
+
+    for i, tp in enumerate(prefixes):
+        blk = f"RepVGGBlock_{i}"
+        for branch, conv, bn in (("rbr_dense", "dense_conv", "dense_bn"),
+                                 ("rbr_1x1", "one_conv", "one_bn")):
+            put(params, (blk, conv, "kernel"), f"{tp}.{branch}.conv.weight")
+            put(params, (blk, bn, "scale"), f"{tp}.{branch}.bn.weight")
+            put(params, (blk, bn, "bias"), f"{tp}.{branch}.bn.bias")
+            put(stats, (blk, bn, "mean"), f"{tp}.{branch}.bn.running_mean")
+            put(stats, (blk, bn, "var"), f"{tp}.{branch}.bn.running_var")
+        if (blk, "id_bn", "scale") in params:
+            put(params, (blk, "id_bn", "scale"), f"{tp}.rbr_identity.weight")
+            put(params, (blk, "id_bn", "bias"), f"{tp}.rbr_identity.bias")
+            put(stats, (blk, "id_bn", "mean"),
+                f"{tp}.rbr_identity.running_mean")
+            put(stats, (blk, "id_bn", "var"), f"{tp}.rbr_identity.running_var")
+        elif f"{tp}.rbr_identity.weight" in sd:
+            raise ValueError(
+                f"torch block {tp} has an identity branch but flax {blk} "
+                "does not — depth/width config misaligned")
+
+    out = dict(variables)
+    out["params"] = _unflatten(list(params.items()))
+    out["batch_stats"] = _unflatten(list(stats.items()))
+    return out
+
+
+def pretrained_into_state(state, net, state_dict, input_shape, network: str):
+    """Apply a pretrained torch trunk to a TrainState (student AND teacher,
+    like the reference's two pretrained get_network calls, agent.py:31-35)."""
+
+    def conv(params, batch_stats):
+        v = {"params": params, "batch_stats": batch_stats}
+        if network == "repvgg":
+            v = import_repvgg_backbone(v, state_dict)
+        else:
+            v = import_torch_backbone(net, v, state_dict, input_shape)
+        return v["params"], v["batch_stats"]
+
+    p, bs = conv(state.params, state.batch_stats)
+    ep, ebs = conv(state.ema_params, state.ema_batch_stats)
+    return state.replace(params=p, batch_stats=bs,
+                         ema_params=ep, ema_batch_stats=ebs)
 
 
 def load_torch_checkpoint(path: str):

@@ -63,7 +63,7 @@ class EfficientNetV2(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, features_only: bool = False):
         # torchvision EfficientNetV2 uses BN eps 1e-3 (matters when importing
         # pretrained torch weights).
         eps = 1e-3
@@ -89,6 +89,8 @@ class EfficientNetV2(nn.Module):
         x = ConvBN(1280, 1, 1, activation=nn.silu, dtype=self.dtype,
                    axis_name=self.axis_name, bn_eps=eps)(x, train)
         x = jnp.mean(x, axis=(1, 2))
+        if features_only:  # pooled trunk features (pretrained-import checks)
+            return x
         x = RegressionHead(self.head_hidden, self.num_outputs, dropout=0.2,
                            dtype=self.dtype, axis_name=self.axis_name)(x, train)
         return x

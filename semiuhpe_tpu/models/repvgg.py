@@ -77,7 +77,7 @@ class RepVGG(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, features_only: bool = False):
         layer_idx = 0
         for stage, (w, d) in enumerate(zip(self.widths, self.depths)):
             w = min(w, 128) if stage == 0 else w
@@ -91,6 +91,8 @@ class RepVGG(nn.Module):
                                 dtype=self.dtype, axis_name=self.axis_name)(x, train)
                 layer_idx += 1
         x = jnp.mean(x, axis=(1, 2))
+        if features_only:  # pooled trunk features (pretrained-import checks)
+            return x
         x = RegressionHead(self.head_hidden, self.num_outputs, dropout=0.2,
                            dtype=self.dtype, axis_name=self.axis_name)(x, train)
         return x

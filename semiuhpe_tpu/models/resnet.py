@@ -64,7 +64,7 @@ class ResNet(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, features_only: bool = False):
         x = ConvBN(64, 7, 2, dtype=self.dtype, axis_name=self.axis_name)(x, train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         block = Bottleneck if self.bottleneck else BasicBlock
@@ -74,6 +74,8 @@ class ResNet(nn.Module):
                 x = block(64 * 2**i, strides, dtype=self.dtype,
                           axis_name=self.axis_name)(x, train)
         x = jnp.mean(x, axis=(1, 2))  # global average pool
+        if features_only:  # pooled trunk features (pretrained-import checks)
+            return x
         x = RegressionHead(self.head_hidden, self.num_outputs, dropout=0.2,
                            dtype=self.dtype, axis_name=self.axis_name)(x, train)
         return x
