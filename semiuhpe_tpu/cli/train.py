@@ -142,8 +142,25 @@ def main(argv=None):
     n_dev = len(mesh.devices.ravel())
 
     # ----- data -----
+    def maybe_packed(name, phase):
+        """Decode-once packed cache (data/packed.py): deterministic
+        decode+crop happens one time; per-epoch stochastic views run on
+        device.  Collapses per-batch host cost to a memmap gather."""
+        ds = get_dataset(name, phase, config)
+        if not config.packed_cache or phase == "test":
+            return ds
+        assert config.device_views, "--packed_cache requires --device_views"
+        from semiuhpe_tpu.data.packed import (PackedHeadPose, is_packed,
+                                              pack_dataset)
+        d = os.path.join(config.packed_cache,
+                         f"{name}_{phase}_s{config.input_size}")
+        if not is_packed(d):
+            logger.line(f"packing {name}/{phase} -> {d} (one-time)")
+            pack_dataset(ds, d)
+        return PackedHeadPose(d)
+
     labeled_phase = "train_all" if config.ss_ratio >= 1.0 else "train"
-    train_set = get_dataset(config.train_labeled, labeled_phase, config)
+    train_set = maybe_packed(config.train_labeled, labeled_phase)
     test_set = get_dataset(config.test_set, "test", config)
     batch = _round_up(config.batch_size, n_dev)
     config.eval_batch_size = _round_up(config.eval_batch_size, n_dev)
@@ -157,7 +174,7 @@ def main(argv=None):
 
     do_ssl = config.max_iteration > config.stage1_iteration
     if do_ssl:
-        ulb_set = get_dataset(config.train_unlabeled, "ulb_train", config)
+        ulb_set = maybe_packed(config.train_unlabeled, "ulb_train")
         ulb_batch = _round_up(round(config.batch_size * config.ulb_batch_ratio), n_dev)
         ulb_loader = Loader(ulb_set, ulb_batch, shuffle=True, drop_last=True,
                             num_workers=config.num_workers)
@@ -187,7 +204,8 @@ def main(argv=None):
     # ----- steps -----
     sup_step = jit_step(
         steps_mod.make_supervised_step(net, config.lr, config.distribution,
-                                       grids9, grad_clip=config.grad_clip),
+                                       grids9, grad_clip=config.grad_clip,
+                                       device_views=config.device_views),
         mesh, n_batch_args=1, n_scalar_args=1)
     ssl_kwargs = dict(
         distribution=config.distribution, type_unsuper=config.type_unsuper,
@@ -260,7 +278,7 @@ def main(argv=None):
 
             s1 = it < config.stage1_iteration
             rng = jax.random.key(config.seed * 1_000_003 + it)
-            if it < 2:
+            if it < 2 and "img" in data:
                 save_visual_fixtures(config.log_dir, data["img"],
                                      f"{config.train_labeled}_weak_")
             step_timer.start()

@@ -110,10 +110,15 @@ def build_parser(phase: str) -> argparse.ArgumentParser:
     p.add_argument("--cutmix_aug", type=str2bool, default=False)
     p.add_argument("--save_feat", type=str2bool, default=False)
     p.add_argument("--device_views", type=str2bool, default=False,
-                   help="generate unlabeled weak/strong views on device from "
-                        "raw uint8 crops (ops/views.py) — 5.4x less host "
-                        "work; flip aug is skipped in this mode and "
+                   help="generate labeled+unlabeled train views on device "
+                        "from raw uint8 crops (ops/views.py): 50% flip with "
+                        "F R F label adjust, 5% blur, RandomResizedCrop, "
+                        "normalize — near-zero host work per sample; "
                         "rotate_aug uses the (slower) device warp")
+    p.add_argument("--packed_cache", type=str, default=None,
+                   help="directory for decode-once packed uint8 crop caches "
+                        "(data/packed.py); built on first use per "
+                        "dataset/phase/size; requires --device_views")
 
     # test
     p.add_argument("--eval_batch_size", type=int, default=64)

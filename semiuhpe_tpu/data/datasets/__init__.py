@@ -52,7 +52,9 @@ def get_dataset(name: str, phase: str, config):
             full_range=getattr(config, "is_full_range", False),
             seed=0 if phase != "test" else 1,
             size=getattr(config, "input_size", 224),
-            raw_views=(phase == "ulb_train"
+            # Device-views mode ships raw uint8 crops for TRAIN phases
+            # (labeled and unlabeled); test keeps host-normalized views.
+            raw_views=(phase in ("train", "train_all", "ulb_train")
                        and getattr(config, "device_views", False)),
         )
     raise NotImplementedError(f"unknown dataset {name}")

@@ -78,12 +78,20 @@ class Loader:
         order = np.arange(n)
         if self.shuffle:
             self._rng.shuffle(order)
-        pool = self._ensure_pool()
 
         batches = [order[i:i + self.batch_size]
                    for i in range(0, n, self.batch_size)]
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
+
+        if hasattr(self.dataset, "get_batch"):
+            # Vectorized fast path (packed/memmap datasets): one fancy-index
+            # per batch, no per-sample Python, no worker pool.
+            for idxs in batches:
+                yield self.dataset.get_batch(idxs)
+            return
+
+        pool = self._ensure_pool()
 
         # Pipeline: keep up to 2 batches of sample-futures in flight.
         pending = collections.deque()

@@ -177,6 +177,19 @@ def frobenius_rot_distance(r1: jnp.ndarray, r2: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.sum(m * m, axis=(-1, -2)))
 
 
+def flip_rotation(r: jnp.ndarray) -> jnp.ndarray:
+    """Rotation of the horizontally-flipped image: R' = F R F with
+    F = diag(-1, 1, 1).
+
+    Exactly equivalent to the reference's label flip, which negates yaw
+    and roll in Euler space (dataset_300WLP.py:110-113): for
+    R = Rz(roll) Ry(yaw) Rx(pitch), Rz(-r) = F Rz(r) F, Ry(-y) = F Ry(y) F
+    and F Rx F = Rx, so Rz(-r) Ry(-y) Rx(p) = F R F.
+    """
+    f = jnp.asarray([-1.0, 1.0, 1.0], r.dtype)
+    return r * f[:, None] * f[None, :]
+
+
 def limit_angle(angle: float, pi: float = 180.0) -> float:
     """Wrap a scalar angle (degrees) into (-pi, pi]; host-side helper used by
     DAD eval (parity with /root/reference/src/utils.py:289-300)."""

@@ -142,20 +142,32 @@ def _box_blur(imgs: jnp.ndarray) -> jnp.ndarray:
 
 def make_views(rng: jax.Array, base_u8: jnp.ndarray, out_size: int,
                rotate_aug: bool = False, blur_prob: float = 0.05,
-               make_strong: bool = True):
+               make_strong: bool = True, flip_prob: float = 0.5):
     """(B, S, S, 3) uint8 base crops -> dict(img, img_strong, aug_rot_mat,
-    rot_angle_deg) with normalized float32 views.  One fused jit program;
-    the caller applies ``aug_rot_mat`` to labels exactly like the host
-    pipeline (aug_rot_mat_z convention)."""
+    rot_angle_deg, flip) with normalized float32 views.  One fused jit
+    program; the caller applies ``aug_rot_mat`` to labels exactly like the
+    host pipeline (aug_rot_mat_z convention).
+
+    Flip semantics follow the reference: the 50% horizontal flip hits the
+    BASE crop before both views (process_not_annotated_image,
+    dataset_COCOHead.py:81-83), so weak and strong stay consistent and no
+    teacher adjustment is needed.  For labeled use the returned ``flip``
+    mask: the reference negates yaw/roll (dataset_300WLP.py:110-113),
+    which in matrix form is R' = F R F with F = diag(-1, 1, 1)
+    (ops.so3.flip_rotation)."""
     b = base_u8.shape[0]
-    k_blur, k_weak, k_rot, k_strong = jax.random.split(rng, 4)
+    k_flip, k_blur, k_weak, k_rot, k_strong = jax.random.split(rng, 5)
     imgs = base_u8.astype(jnp.float32)
+
+    flip = jax.random.uniform(k_flip, (b,)) < flip_prob
+    imgs = jnp.where(flip[:, None, None, None], imgs[:, :, ::-1, :], imgs)
 
     do_blur = jax.random.uniform(k_blur, (b, 1, 1, 1)) < blur_prob
     imgs = jnp.where(do_blur, _box_blur(imgs), imgs)
 
     weak = random_resized_crop_batch(k_weak, imgs, (0.8, 1.25), out_size)
-    out = {"img": (weak / 255.0 - IMAGENET_MEAN) / IMAGENET_STD}
+    out = {"img": (weak / 255.0 - IMAGENET_MEAN) / IMAGENET_STD,
+           "flip": flip}
 
     if not make_strong:
         out["img_strong"] = jnp.zeros_like(out["img"])

@@ -67,12 +67,41 @@ def _supervised_loss(net, params, batch_stats, batch, rng, distribution, grids9,
     return jnp.mean(losses), (out, pred_orth, new_stats)
 
 
+def labeled_device_views(rng, batch):
+    """Weak view + 50% flip of a labeled raw-crop batch, on device.
+
+    Mirrors process_annotated_image (dataset_300WLP.py:103-125): flip
+    negates yaw/roll — in matrix form R' = F R F (ops.so3.flip_rotation) —
+    then 5% blur + RandomResizedCrop(0.8, 1.25) + normalize.
+    """
+    views = make_views(rng, batch["img_raw"], batch["img_raw"].shape[1],
+                       make_strong=False)
+    flip = views["flip"]
+    new = dict(batch)
+    new.pop("img_raw")
+    new["img"] = views["img"]
+    new["rot_mat"] = jnp.where(flip[:, None, None],
+                               so3.flip_rotation(batch["rot_mat"]),
+                               batch["rot_mat"])
+    if "euler_angles" in batch:
+        sign = jnp.where(flip[:, None],
+                         jnp.asarray([1.0, -1.0, -1.0], jnp.float32),
+                         jnp.ones((3,), jnp.float32))
+        new["euler_angles"] = batch["euler_angles"] * sign
+    return new
+
+
 def make_supervised_step(net, lr: float, distribution: str = "matrixFisher",
-                         grids9=None, grad_clip: float = 0.0) -> Callable:
+                         grids9=None, grad_clip: float = 0.0,
+                         device_views: bool = False) -> Callable:
     """Stage-1 supervised step (reference train_func_s1, agent.py:254-266)."""
     tx = make_optimizer(lr, grad_clip)
 
     def step(state: TrainState, batch, rng) -> tuple[TrainState, dict]:
+        if device_views:
+            rng, rng_lv = jax.random.split(rng)
+            batch = labeled_device_views(rng_lv, batch)
+
         def loss_fn(params):
             return _supervised_loss(net, params, state.batch_stats, batch, rng,
                                     distribution, grids9)
@@ -146,22 +175,27 @@ def make_ssl_step(
 
     def step(state: TrainState, batch, ulb_batch, rng, conf_thres, ssl_lambda):
         (rng_teacher, rng_student, rng_sup, rng_cutout, rng_cutmix,
-         rng_views) = jax.random.split(rng, 6)
+         rng_views, rng_lviews) = jax.random.split(rng, 7)
 
         if device_views:
             # Unlabeled weak/strong views generated on device from the raw
             # uint8 crop (ops/views.py); labels adjusted with the device-
             # sampled aug_rot_mat exactly like the host pipeline
-            # (dataset_300WLP.py:195-201).
+            # (dataset_300WLP.py:195-201).  The 50% base flip hits both
+            # views, so only the (diagnostic) GT needs the F R F adjust.
             views = make_views(rng_views, ulb_batch["img_raw"],
                                ulb_batch["img_raw"].shape[1],
                                rotate_aug=rotate_aug)
             new_ulb = {"img": views["img"], "img_strong": views["img_strong"],
                        "aug_rot_mat": views["aug_rot_mat"]}
             if "rot_mat" in ulb_batch:
-                new_ulb["rot_mat"] = jnp.matmul(views["aug_rot_mat"],
-                                                ulb_batch["rot_mat"])
+                gt = jnp.where(views["flip"][:, None, None],
+                               so3.flip_rotation(ulb_batch["rot_mat"]),
+                               ulb_batch["rot_mat"])
+                new_ulb["rot_mat"] = jnp.matmul(views["aug_rot_mat"], gt)
             ulb_batch = new_ulb
+            if "img_raw" in batch:
+                batch = labeled_device_views(rng_lviews, batch)
 
         # --- EMA teacher update (before fwd/bwd, warmup keyed to stage-2 iter).
         stage2_iter = state.step - stage1_iteration
