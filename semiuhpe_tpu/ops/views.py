@@ -1,6 +1,6 @@
 """On-device weak/strong view generation from raw uint8 head crops.
 
-At ~14k imgs/sec device speed the host loader's per-sample PIL work
+At ~2k imgs/sec device speed the host loader's per-sample PIL work
 (RandomResizedCrop x2, rotation, normalization, float conversion) is the
 training bottleneck (BENCH_NOTES.md).  This module moves the whole view
 pipeline after the head crop onto the TPU: the loader ships ONE uint8
@@ -20,11 +20,13 @@ attempt-loop: with ratio 1:1 on a square input every side <= S is valid,
 so side = S * sqrt(clip(area_frac, 0, 1)) with the >1 fallback being the
 full frame, exactly torchvision's fallback behavior.
 
-Measured (v5e, b128 @224, in-jit scan): blur+RRC x2+normalize = 3.4 ms /
-batch — vs a 5.4x host-side per-sample cost reduction.  The affine
-rotation warp is gather-bound on TPU (~250 ms/batch): keep ``rotate_aug``
-host-side (PIL) when using device views, or accept the cost for
-full-range SSL; a shear/FFT formulation is a round-2 candidate.
+Relative measurements (v5e, b128 @224, in-jit scan; round-1 absolute ms
+were under-synced — see BENCH_NOTES.md): blur+RRC x2+normalize is a few
+ms/batch, ~2 orders faster than gather-based warps; host-side per-sample
+cost drops 5.4x.  The affine rotation warp is gather-bound on TPU (two
+orders slower than the separable RRC): keep ``rotate_aug`` host-side
+(PIL) when using device views, or accept the cost for full-range SSL; a
+shear/FFT formulation remains a candidate.
 """
 
 from __future__ import annotations
