@@ -113,22 +113,31 @@ def pad_to(batch, size):
 def evaluate(eval_step, state, test_loader, mesh, conf_thres, batch_size):
     """Returns (loss, err_mean, mask_ratio, err_pseudo_gt): the last is the
     mean error over confidently-predicted samples only (reference val_func
-    err_pseudo_gt, agent.py:238-247)."""
-    losses, errs, mask_ratios, masked_errs = [], [], [], []
+    err_pseudo_gt, agent.py:238-247).
+
+    Short final batches are padded on device for a single compiled shape,
+    but every aggregate weights only the ``n_valid`` real rows — padding
+    must never bias the metrics (it decides the best checkpoint)."""
+    losses, errs, masks_n, masked_errs, n_total = [], [], 0.0, [], 0
     for batch in test_loader:
         batch, n_valid = pad_to(batch, batch_size)
         out = eval_step(state, shard_batch(mesh, batch), jnp.float32(conf_thres))
-        losses.append(float(out["loss"]))
+        per_loss = np.asarray(out.get("losses", out["loss"]))
+        if per_loss.ndim == 0:  # scalar fallback: weight by n_valid
+            losses.append(float(per_loss) * n_valid)
+        else:
+            losses.append(float(per_loss[:n_valid].sum()))
         err = np.asarray(out["err_deg"])[:n_valid]
         errs.append(err)
-        mask_ratios.append(float(out["mask_ratio"]))
         mask = np.asarray(out["entropy"])[:n_valid] < conf_thres
+        masks_n += float(mask.sum())
         masked_errs.append(err[mask])
+        n_total += n_valid
     errs = np.concatenate(errs)
     masked = np.concatenate(masked_errs) if masked_errs else np.asarray([])
     err_pseudo = float(masked.mean()) if masked.size else -1.0
-    return (float(np.mean(losses)), float(errs.mean()),
-            float(np.mean(mask_ratios)), err_pseudo)
+    return (float(np.sum(losses) / n_total), float(errs.mean()),
+            float(masks_n / n_total), err_pseudo)
 
 
 def main(argv=None):
@@ -333,8 +342,10 @@ def main(argv=None):
                                 "mask_ratio": mratio_e,
                                 "err_pseudo_gt": err_pseudo_e})
 
+            first_sweep_at = config.stage1_iteration + (
+                config.save_frequency if config.sweep_after_warmup else 0)
             if (it % config.save_frequency == 0 and do_ssl
-                    and it >= config.stage1_iteration):
+                    and it >= first_sweep_at):
                 if config.dynamic_thres:
                     conf_thres = steps_mod.dynamic_entropy_threshold(
                         lambda st, img: entropy_fn(st, jax.device_put(img)),

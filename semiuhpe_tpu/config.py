@@ -102,6 +102,13 @@ def build_parser(phase: str) -> argparse.ArgumentParser:
     p.add_argument("--distribution", type=str, default="matrixFisher",
                    choices=["matrixFisher", "RotationLaplace"])
     p.add_argument("--dynamic_thres", type=str2bool, default=False)
+    p.add_argument("--sweep_after_warmup", type=str2bool, default=False,
+                   help="delay the first dynamic-threshold sweep by one "
+                        "save_frequency period into stage 2, so it scores "
+                        "with a warmed-up teacher (the reference runs the "
+                        "first sweep against the just-reloaded teacher at "
+                        "the stage boundary, train.py:242-251 — faithfully "
+                        "reproduced when false)")
     p.add_argument("--left_ratio", type=float, default=0.95)
     p.add_argument("--std_ratio", type=float, default=2.0,
                    help="legacy mean+k*std thresholding (defective in ref)")

@@ -60,18 +60,18 @@ def make_head_mesh(n_lat: int = 48, n_lon: int = 64):
     r -= 0.05 * np.clip(-np.cos(pp), 0, 1) * np.sin(tt) ** 2
 
     x, y, z = r * x, r * y, r * z
-    # Ellipsoid proportions: narrower than tall, deeper than wide.  The
-    # camera convention (renderer depth = -cam_z) means the face must point
-    # toward -z in the canonical frame, so flip z; y points down in image
-    # coords, so flip y too (the pole at theta=0 is the top of the head).
+    # Canonical frame measured off the reference FLAME asset
+    # (pose_references/vertices_trans.npy): x right (ears at +-0.89), y UP
+    # (crown at +1.0), face toward -z (nose tip at (0, -0.07, -0.75)),
+    # centered at the origin.  Ellipsoid proportions: narrower than tall,
+    # deeper than wide.
     x *= 0.78
-    y *= -1.0
     z *= -0.92
 
-    # Overall scale: the canonical head spans ~±0.09 units so that with the
-    # renderer's tz=1 + (w+h) focal convention a head projects to roughly a
-    # bbox-sized region (matching the reference FLAME asset's scale).
-    scale = 0.09
+    # Overall scale matches the FLAME asset's ~[-0.9, 1.0] span so both
+    # meshes project to the same bbox-sized overlay under the renderer's
+    # weak-perspective conventions (tests/test_reference_assets.py).
+    scale = 0.9
     vertices = (scale * np.stack([x.ravel(), y.ravel(), z.ravel()], -1)
                 ).astype(np.float32)
 

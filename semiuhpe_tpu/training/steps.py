@@ -326,6 +326,7 @@ def make_eval_step(net, distribution: str = "matrixFisher", grids9=None,
         mask = (entropy < conf_thres).astype(jnp.float32)
         return {
             "loss": jnp.mean(losses),
+            "losses": losses,  # per-sample: lets callers ignore eval padding
             "err_deg": err,
             "pred": out,
             "pred_orth": pred_orth,

@@ -60,20 +60,24 @@ class TestHeadMesh:
         v, t = make_head_mesh()
         assert v.dtype == np.float32 and t.dtype == np.int32
         assert t.min() >= 0 and t.max() < len(v)
-        assert np.abs(v).max() <= 0.15
+        # FLAME-matched canonical scale: spans ~[-0.9, 1.1] (see
+        # tests/test_reference_assets.py for the cross-mesh overlay check).
+        assert np.abs(v).max() <= 1.5
         # The nose protrudes toward -z (the face direction).
-        assert v[:, 2].min() < -0.95 * 0.09
+        assert v[:, 2].min() < -0.95 * 0.9
 
-    def test_normals_point_outward(self):
+    def test_normals_match_reference_convention(self):
         from semiuhpe_tpu.render.headmesh import make_head_mesh
 
         v, t = make_head_mesh()
         n = native.get_normal(v, t)
-        # For a convex-ish closed surface, normals align with radial dir.
+        # Radially aligned, and signed INWARD — the same winding convention
+        # the reference FLAME asset uses (its mean signed cos is -0.77), so
+        # the Phong pipeline lights both meshes identically.
         radial = v / np.linalg.norm(v, axis=1, keepdims=True)
         cos = np.sum(n * radial, axis=1)
-        frac_outward = (np.abs(cos) > 0.3).mean()
-        assert frac_outward > 0.9
+        assert (np.abs(cos) > 0.3).mean() > 0.9
+        assert cos.mean() < -0.5
 
 
 class TestRenderer:
