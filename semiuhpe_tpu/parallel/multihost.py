@@ -51,8 +51,14 @@ def shard_global_batch(mesh: Mesh, local_batch: Any, axis: str = "data") -> Any:
 
     def put(x):
         x = np.asarray(x)
-        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
         local_devices = mesh.local_devices
+        if x.shape[0] % len(local_devices) != 0:
+            raise ValueError(
+                f"local batch rows ({x.shape[0]}) must be divisible by the "
+                f"local device count ({len(local_devices)}); round the "
+                "per-process batch up (cli/train.py rounds to the mesh "
+                "size) or drop the remainder")
+        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
         per_dev = np.split(x, len(local_devices))
         arrays = [jax.device_put(s, d) for s, d in zip(per_dev, local_devices)]
         return jax.make_array_from_single_device_arrays(
