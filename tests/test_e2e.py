@@ -203,6 +203,57 @@ def test_image_pipeline_end_to_end(exp_dir, tmp_path, monkeypatch):
 
 
 @pytest.mark.e2e
+def test_video_pipeline_end_to_end(exp_dir, tmp_path, monkeypatch):
+    """cli/video.py over a 3-frame synthetic mp4 with a stubbed detector:
+    frame loop, per-frame pose+render, FPS overlay, mp4 writer."""
+    import cv2
+    import numpy as np_
+
+    from semiuhpe_tpu.cli import video as video_cli
+    from semiuhpe_tpu.cli.infer_common import Detector
+    from semiuhpe_tpu.data.datasets.base import SyntheticHeadPose
+
+    ds = SyntheticHeadPose(n=3, raw_views=True, size=96)
+    vid_path = str(tmp_path / "in.mp4")
+    writer = cv2.VideoWriter(vid_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             5.0, (192, 192))
+    for i in range(3):
+        frame = np_.full((192, 192, 3), 40, np_.uint8)
+        frame[48:144, 48:144] = ds[i]["img_raw"][:, :, ::-1]
+        writer.write(frame)
+    writer.release()
+
+    stub = [np_.asarray([[0, 0, 0.9, 48, 48, 144, 144]], np_.float32)]
+    monkeypatch.setattr(Detector, "detect_heads",
+                        lambda self, img: ([], stub, []))
+
+    ckpts = []
+    for root, dirs, _ in os.walk(exp_dir):
+        if "best" in dirs and root.endswith("model"):
+            ckpts.append(os.path.join(root, "best"))
+    assert ckpts
+
+    out_path = str(tmp_path / "out.mp4")
+    video_cli.main(
+        [ckpts[0], "--video_path", vid_path, "--out_path", out_path,
+         "--det_variant", "s6", "--imgsz", "128", "--max_frames", "2",
+         "--network", "tiny", "--input_size", "32", "--dtype", "float32",
+         "--exp_dir", exp_dir])
+    cap = cv2.VideoCapture(out_path)
+    assert cap.isOpened()
+    n, changed_any = 0, False
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        n += 1
+        changed_any = changed_any or frame.std() > 10
+    cap.release()
+    assert n == 2  # max_frames respected
+    assert changed_any
+
+
+@pytest.mark.e2e
 def test_device_views_train(exp_dir):
     """SSL training with on-device view generation (--device_views)."""
     from semiuhpe_tpu.cli import train as train_cli
