@@ -263,6 +263,96 @@ def import_repvgg_backbone(variables, state_dict,
     return out
 
 
+def import_tinyvit_backbone(variables, state_dict,
+                            depths=(2, 2, 6, 2)) -> Dict:
+    """Name-mapped import of an official TinyViT (microsoft/Cream)
+    checkpoint — the layout the reference loads via
+    tiny_vit_21m_224(pretrained=True) (/root/reference/src/networks.py:
+    389-416, src/tiny_vit.py).
+
+    Torch layout: ``patch_embed.seq.{0,2}.{c,bn}``, ``layers.{i}`` with
+    ``blocks.{j}`` (stage 0: MBConv conv1/conv2/conv3; stages 1-3:
+    attn.norm/qkv/proj/attention_biases + local_conv + mlp.norm/fc1/fc2)
+    and ``downsample.conv{1,2,3}``, final ``norm_head``; the 1000-class
+    ``head`` is dropped.  Our flax names are per-type indexed
+    (TinyViTBlock_4 etc.), so the stage/block mapping is reconstructed
+    from ``depths``.
+    """
+    sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach")
+              else np.asarray(v))
+          for k, v in state_dict.items()
+          if not k.endswith(("num_batches_tracked", "attention_bias_idxs"))}
+
+    params = {p: v for p, v in _flatten(variables["params"])}
+    stats = {p: v for p, v in _flatten(variables["batch_stats"])}
+
+    def put(tree, path, tname):
+        if tname not in sd:
+            raise ValueError(f"missing torch key {tname} "
+                             f"(flax {'/'.join(path)})")
+        tree[path] = _convert_leaf(path, tree[path], tname, sd[tname])
+
+    def conv_bn(flax_prefix, tprefix):
+        put(params, flax_prefix + ("Conv_0", "kernel"), f"{tprefix}.c.weight")
+        put(params, flax_prefix + ("BatchNorm_0", "scale"),
+            f"{tprefix}.bn.weight")
+        put(params, flax_prefix + ("BatchNorm_0", "bias"),
+            f"{tprefix}.bn.bias")
+        put(stats, flax_prefix + ("BatchNorm_0", "mean"),
+            f"{tprefix}.bn.running_mean")
+        put(stats, flax_prefix + ("BatchNorm_0", "var"),
+            f"{tprefix}.bn.running_var")
+
+    def layer_norm(flax_prefix, tprefix):
+        put(params, flax_prefix + ("scale",), f"{tprefix}.weight")
+        put(params, flax_prefix + ("bias",), f"{tprefix}.bias")
+
+    def dense(flax_prefix, tprefix):
+        put(params, flax_prefix + ("kernel",), f"{tprefix}.weight")
+        put(params, flax_prefix + ("bias",), f"{tprefix}.bias")
+
+    # Patch embed: two Conv2d_BN at Sequential indices 0 and 2.
+    conv_bn(("ConvBN_0",), "patch_embed.seq.0")
+    conv_bn(("ConvBN_1",), "patch_embed.seq.2")
+
+    mb_idx = 0
+    vit_idx = 0
+    for stage, d in enumerate(depths):
+        for j in range(d):
+            t = f"layers.{stage}.blocks.{j}"
+            if stage == 0:
+                f = (f"TinyViTMBConv_{mb_idx}",)
+                mb_idx += 1
+                for k, conv in enumerate(("conv1", "conv2", "conv3")):
+                    conv_bn(f + (f"ConvBN_{k}",), f"{t}.{conv}")
+            else:
+                f = (f"TinyViTBlock_{vit_idx}",)
+                vit_idx += 1
+                attn = f + ("WindowAttention_0",)
+                layer_norm(attn + ("LayerNorm_0",), f"{t}.attn.norm")
+                dense(attn + ("Dense_0",), f"{t}.attn.qkv")
+                dense(attn + ("Dense_1",), f"{t}.attn.proj")
+                put(params, attn + ("attention_biases",),
+                    f"{t}.attn.attention_biases")
+                conv_bn(f + ("ConvBN_0",), f"{t}.local_conv")
+                mlp = f + ("TinyViTMlp_0",)
+                layer_norm(mlp + ("LayerNorm_0",), f"{t}.mlp.norm")
+                dense(mlp + ("Dense_0",), f"{t}.mlp.fc1")
+                dense(mlp + ("Dense_1",), f"{t}.mlp.fc2")
+        if stage < len(depths) - 1:
+            f = (f"PatchMerging_{stage}",)
+            for k, conv in enumerate(("conv1", "conv2", "conv3")):
+                conv_bn(f + (f"ConvBN_{k}",),
+                        f"layers.{stage}.downsample.{conv}")
+
+    layer_norm(("norm_head",), "norm_head")
+
+    out = dict(variables)
+    out["params"] = _unflatten(list(params.items()))
+    out["batch_stats"] = _unflatten(list(stats.items()))
+    return out
+
+
 def pretrained_into_state(state, net, state_dict, input_shape, network: str):
     """Apply a pretrained torch trunk to a TrainState (student AND teacher,
     like the reference's two pretrained get_network calls, agent.py:31-35)."""
@@ -271,6 +361,8 @@ def pretrained_into_state(state, net, state_dict, input_shape, network: str):
         v = {"params": params, "batch_stats": batch_stats}
         if network == "repvgg":
             v = import_repvgg_backbone(v, state_dict)
+        elif network == "tinyvit":
+            v = import_tinyvit_backbone(v, state_dict)
         else:
             v = import_torch_backbone(net, v, state_dict, input_shape)
         return v["params"], v["batch_stats"]

@@ -178,7 +178,7 @@ class TinyViT(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, features_only: bool = False):
         act = lambda v: nn.gelu(v, approximate=False)
         # Patch embed: two stride-2 3x3 convs -> /4.
         x = ConvBN(self.embed_dims[0] // 2, 3, 2, activation=act,
@@ -209,6 +209,8 @@ class TinyViT(nn.Module):
 
         x = jnp.mean(x, axis=(1, 2))  # (B, C)
         x = nn.LayerNorm(dtype=self.dtype, name="norm_head")(x)
+        if features_only:  # post-norm_head features (pretrained checks)
+            return x
         x = RegressionHead(self.head_hidden, self.num_outputs, dropout=0.2,
                            dtype=self.dtype, axis_name=self.axis_name)(x, train)
         return x
