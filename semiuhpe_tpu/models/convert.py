@@ -353,6 +353,88 @@ def import_tinyvit_backbone(variables, state_dict,
     return out
 
 
+def import_pytorchcv_efficientnet(variables, state_dict,
+                                  base=((1, 1), (6, 2), (6, 2), (6, 3),
+                                        (6, 3), (6, 4), (6, 1)),
+                                  depth_mult: float = 1.8) -> Dict:
+    """Name-mapped import of a pytorchcv EfficientNet ("efficientnet_b4b"
+    etc.) checkpoint — the source the reference uses
+    (/root/reference/src/networks.py:359-374).
+
+    pytorchcv layout: ``features.init_block.conv.{conv,bn}``, spatial
+    stages ``features.stage{s}.unit{u}`` (a new stage starts at each
+    stride-2 block) where the first base stage's expand=1 units are
+    EffiDwsConvUnit (``dw_conv``/``se``/``pw_conv``) and the rest are
+    EffiInvResUnit (``conv1``/``conv2``/``se``/``conv3``), then
+    ``features.final_block.{conv,bn}``; the 1000-class ``output`` head is
+    dropped.  ``base`` lists (expand, repeats) per base stage; repeats are
+    depth-scaled exactly like the flax model (b4 default).
+    """
+    import math
+
+    sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach")
+              else np.asarray(v))
+          for k, v in state_dict.items()
+          if not k.endswith("num_batches_tracked")}
+
+    params = {p: v for p, v in _flatten(variables["params"])}
+    stats = {p: v for p, v in _flatten(variables["batch_stats"])}
+
+    def put(tree, path, tname):
+        if tname not in sd:
+            raise ValueError(f"missing torch key {tname} "
+                             f"(flax {'/'.join(path)})")
+        tree[path] = _convert_leaf(path, tree[path], tname, sd[tname])
+
+    def conv_bn(flax_prefix, tprefix):
+        put(params, flax_prefix + ("Conv_0", "kernel"), f"{tprefix}.conv.weight")
+        put(params, flax_prefix + ("BatchNorm_0", "scale"), f"{tprefix}.bn.weight")
+        put(params, flax_prefix + ("BatchNorm_0", "bias"), f"{tprefix}.bn.bias")
+        put(stats, flax_prefix + ("BatchNorm_0", "mean"),
+            f"{tprefix}.bn.running_mean")
+        put(stats, flax_prefix + ("BatchNorm_0", "var"),
+            f"{tprefix}.bn.running_var")
+
+    def se(flax_prefix, tprefix):
+        put(params, flax_prefix + ("Conv_0", "kernel"), f"{tprefix}.conv1.weight")
+        put(params, flax_prefix + ("Conv_0", "bias"), f"{tprefix}.conv1.bias")
+        put(params, flax_prefix + ("Conv_1", "kernel"), f"{tprefix}.conv2.weight")
+        put(params, flax_prefix + ("Conv_1", "bias"), f"{tprefix}.conv2.bias")
+
+    conv_bn(("ConvBN_0",), "features.init_block.conv")
+
+    # Strides per base stage (TF EfficientNet): 1,2,2,2,1,2,1 — a stride-2
+    # block opens a new pytorchcv spatial stage.
+    strides = (1, 2, 2, 2, 1, 2, 1)
+    stage, unit, mb = 0, 0, 0
+    for (expand, repeats), stride in zip(base, strides):
+        n = int(math.ceil(repeats * depth_mult))
+        for j in range(n):
+            if j == 0 and (stride == 2 or stage == 0):
+                stage += 1
+                unit = 1
+            else:
+                unit += 1
+            t = f"features.stage{stage}.unit{unit}"
+            f = (f"MBConv_{mb}",)
+            mb += 1
+            if expand == 1:
+                conv_bn(f + ("ConvBN_0",), f"{t}.dw_conv")
+                se(f + ("SqueezeExcite_0",), f"{t}.se")
+                conv_bn(f + ("ConvBN_1",), f"{t}.pw_conv")
+            else:
+                conv_bn(f + ("ConvBN_0",), f"{t}.conv1")
+                conv_bn(f + ("ConvBN_1",), f"{t}.conv2")
+                se(f + ("SqueezeExcite_0",), f"{t}.se")
+                conv_bn(f + ("ConvBN_2",), f"{t}.conv3")
+    conv_bn(("ConvBN_1",), "features.final_block")
+
+    out = dict(variables)
+    out["params"] = _unflatten(list(params.items()))
+    out["batch_stats"] = _unflatten(list(stats.items()))
+    return out
+
+
 def pretrained_into_state(state, net, state_dict, input_shape, network: str):
     """Apply a pretrained torch trunk to a TrainState (student AND teacher,
     like the reference's two pretrained get_network calls, agent.py:31-35)."""
@@ -363,6 +445,8 @@ def pretrained_into_state(state, net, state_dict, input_shape, network: str):
             v = import_repvgg_backbone(v, state_dict)
         elif network == "tinyvit":
             v = import_tinyvit_backbone(v, state_dict)
+        elif network == "effinet":
+            v = import_pytorchcv_efficientnet(v, state_dict)
         else:
             v = import_torch_backbone(net, v, state_dict, input_shape)
         return v["params"], v["batch_stats"]

@@ -53,7 +53,7 @@ class EfficientNet(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, features_only: bool = False):
         wm, dm = _SCALES[self.variant]
         x = ConvBN(_round_channels(32, wm), 3, 2, activation=nn.silu,
                    dtype=self.dtype, axis_name=self.axis_name)(x, train)
@@ -70,6 +70,8 @@ class EfficientNet(nn.Module):
         x = ConvBN(_round_channels(1280, wm), 1, 1, activation=nn.silu,
                    dtype=self.dtype, axis_name=self.axis_name)(x, train)
         x = jnp.mean(x, axis=(1, 2))
+        if features_only:  # pooled trunk features (pretrained-import checks)
+            return x
         x = RegressionHead(self.head_hidden, self.num_outputs, dropout=0.2,
                            dtype=self.dtype, axis_name=self.axis_name)(x, train)
         return x
