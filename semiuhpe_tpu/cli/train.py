@@ -212,9 +212,10 @@ def main(argv=None):
 
     # ----- steps -----
     sup_step = jit_step(
-        steps_mod.make_supervised_step(net, config.lr, config.distribution,
-                                       grids9, grad_clip=config.grad_clip,
-                                       device_views=config.device_views),
+        steps_mod.make_supervised_step(
+            net, config.lr, config.distribution, grids9,
+            grad_clip=config.grad_clip, device_views=config.device_views,
+            labeled_weak_aug=(config.train_labeled != "DAD3DHeads")),
         mesh, n_batch_args=1, n_scalar_args=1)
     ssl_kwargs = dict(
         distribution=config.distribution, type_unsuper=config.type_unsuper,

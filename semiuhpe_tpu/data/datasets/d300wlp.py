@@ -53,7 +53,7 @@ def load_landmarks(anno_path: str, img_w: int) -> np.ndarray:
 class Dataset300WLP:
     def __init__(self, img_files: List[str], anno_files: List[str], phase: str,
                  augment_strong: bool = False, rotate_aug: bool = False,
-                 out_size: int = 224, seed=None):
+                 out_size: int = 224, seed=None, raw_views: bool = False):
         self.img_files = img_files
         self.anno_files = anno_files
         self.phase = phase
@@ -61,6 +61,7 @@ class Dataset300WLP:
         self.rotate_aug = rotate_aug
         self.out_size = out_size
         self.seed = seed
+        self.raw_views = raw_views
 
     def __len__(self):
         return len(self.img_files)
@@ -80,6 +81,16 @@ class Dataset300WLP:
         crop = head_crop_from_landmarks(img, pt2d, ad, self.out_size)
 
         pitch, yaw, roll = map(wrap_clip_89, (pitch, yaw, roll))
+        if self.raw_views:
+            # Device-views mode: ship the base crop; flip/blur/RRC (+ the
+            # flip/rotation label algebra) run on device (ops/views.py,
+            # training.steps.labeled_device_views).
+            return {
+                "idx": np.int32(idx),
+                "rot_mat": euler_to_rot_np(pitch, yaw, roll).astype(np.float32),
+                "euler_angles": np.asarray([pitch, yaw, roll], np.float32),
+                "img_raw": np.asarray(crop, np.uint8),
+            }
         flip = rng.uniform() < 0.5
         if flip:
             yaw, roll = -yaw, -roll
@@ -145,4 +156,5 @@ def make_300wlp(phase: str, config):
         augment_strong=(phase == "ulb_train"),
         rotate_aug=getattr(config, "rotate_aug", False) and phase == "ulb_train",
         out_size=getattr(config, "input_size", 224),
+        raw_views=getattr(config, "device_views", False),
     )

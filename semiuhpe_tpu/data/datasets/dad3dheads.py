@@ -75,12 +75,13 @@ def build_pose_list(db_path: str, split: str, is_full_range: bool):
 
 class DatasetDAD3DHeads:
     def __init__(self, img_files, annos, phase: str, out_size: int = 224,
-                 seed=None):
+                 seed=None, raw_views: bool = False):
         self.img_files = img_files
         self.annos = annos
         self.phase = phase
         self.out_size = out_size
         self.seed = seed
+        self.raw_views = raw_views
 
     def __len__(self):
         return len(self.img_files)
@@ -93,6 +94,15 @@ class DatasetDAD3DHeads:
         img = Image.open(self.img_files[idx]).convert("RGB")
         ad = (rng.uniform() * 0.1 + 0.1) if self.phase == "train" else 0.15
         crop = head_crop_from_bbox(img, bbox, ad, self.out_size, top_scale=1.0)
+        if self.raw_views:
+            # Device-views mode: the DAD labeled side takes NO view augs
+            # (reference loaders use augment_weak=False), so the device
+            # step only normalizes — pass labeled_weak_aug=False there.
+            return {
+                "idx": np.int32(idx),
+                "rot_mat": np.asarray(rot, np.float32),
+                "img_raw": np.asarray(crop, np.uint8),
+            }
         tensor = normalize(crop).astype(np.float32)
         return {
             "idx": np.int32(idx),
@@ -107,5 +117,7 @@ def make_dad3dheads(phase: str, config):
     split = "val" if phase in ("val", "test") else "train"
     imgs, annos = build_pose_list(config.data_dir_DAD3DHeads, split,
                                   config.is_full_range)
-    return DatasetDAD3DHeads(imgs, annos, split,
-                             out_size=getattr(config, "input_size", 224))
+    return DatasetDAD3DHeads(
+        imgs, annos, split, out_size=getattr(config, "input_size", 224),
+        raw_views=(split == "train"
+                   and getattr(config, "device_views", False)))

@@ -67,13 +67,22 @@ def _supervised_loss(net, params, batch_stats, batch, rng, distribution, grids9,
     return jnp.mean(losses), (out, pred_orth, new_stats)
 
 
-def labeled_device_views(rng, batch):
+def labeled_device_views(rng, batch, weak_aug: bool = True):
     """Weak view + 50% flip of a labeled raw-crop batch, on device.
 
     Mirrors process_annotated_image (dataset_300WLP.py:103-125): flip
     negates yaw/roll — in matrix form R' = F R F (ops.so3.flip_rotation) —
     then 5% blur + RandomResizedCrop(0.8, 1.25) + normalize.
+
+    ``weak_aug=False`` (the DAD3DHeads labeled side, which takes no view
+    augmentation) only normalizes the raw crop.
     """
+    from semiuhpe_tpu.ops.views import normalize_u8
+
+    if not weak_aug:
+        new = dict(batch)
+        new["img"] = normalize_u8(new.pop("img_raw"))
+        return new
     views = make_views(rng, batch["img_raw"], batch["img_raw"].shape[1],
                        make_strong=False)
     flip = views["flip"]
@@ -93,14 +102,15 @@ def labeled_device_views(rng, batch):
 
 def make_supervised_step(net, lr: float, distribution: str = "matrixFisher",
                          grids9=None, grad_clip: float = 0.0,
-                         device_views: bool = False) -> Callable:
+                         device_views: bool = False,
+                         labeled_weak_aug: bool = True) -> Callable:
     """Stage-1 supervised step (reference train_func_s1, agent.py:254-266)."""
     tx = make_optimizer(lr, grad_clip)
 
     def step(state: TrainState, batch, rng) -> tuple[TrainState, dict]:
         if device_views:
             rng, rng_lv = jax.random.split(rng)
-            batch = labeled_device_views(rng_lv, batch)
+            batch = labeled_device_views(rng_lv, batch, labeled_weak_aug)
 
         def loss_fn(params):
             return _supervised_loss(net, params, state.batch_stats, batch, rng,
@@ -195,7 +205,8 @@ def make_ssl_step(
                 new_ulb["rot_mat"] = jnp.matmul(views["aug_rot_mat"], gt)
             ulb_batch = new_ulb
             if "img_raw" in batch:
-                batch = labeled_device_views(rng_lviews, batch)
+                batch = labeled_device_views(rng_lviews, batch,
+                                             labeled_set != "DAD3DHeads")
 
         # --- EMA teacher update (before fwd/bwd, warmup keyed to stage-2 iter).
         stage2_iter = state.step - stage1_iteration

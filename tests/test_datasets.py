@@ -74,6 +74,21 @@ class TestD300WLP:
         assert s2["img_strong"].shape == (64, 64, 3)
         assert s2["aug_rot_mat"].shape == (3, 3)
 
+    def test_raw_views_mode(self, root):
+        """device_views: labeled 300WLP ships the raw uint8 base crop with
+        the UNflipped/unaugmented label (flip runs on device)."""
+        from semiuhpe_tpu.data.datasets.base import euler_to_rot_np
+        from semiuhpe_tpu.data.datasets.d300wlp import make_300wlp
+
+        cfg = Cfg(data_dir_300WLP=root, device_views=True)
+        s = make_300wlp("train", cfg)[0]
+        assert s["img_raw"].dtype == np.uint8
+        assert s["img_raw"].shape == (64, 64, 3)
+        assert "img" not in s
+        p, y, r = s["euler_angles"]
+        np.testing.assert_allclose(s["rot_mat"], euler_to_rot_np(p, y, r),
+                                   atol=1e-5)
+
     def test_flip_landmarks_mirrored(self, root):
         from semiuhpe_tpu.data.datasets.d300wlp import load_landmarks
 
@@ -231,6 +246,15 @@ class TestDAD3DHeads:
         ds3 = make_dad3dheads("train", Cfg(data_dir_DAD3DHeads=str(root),
                                            is_full_range=True))
         assert len(ds3) == 2
+
+        # Raw-views mode: uint8 crop + unchanged rot_mat (DAD labeled side
+        # takes no view augs; the device step only normalizes).
+        ds4 = make_dad3dheads("train", Cfg(data_dir_DAD3DHeads=str(root),
+                                           is_full_range=True,
+                                           device_views=True))
+        s4 = ds4[1]
+        assert s4["img_raw"].dtype == np.uint8 and "img" not in s4
+        np.testing.assert_allclose(s4["rot_mat"], rots[1], atol=2e-4)
 
 
 class TestEvalConversions:
