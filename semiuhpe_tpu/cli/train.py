@@ -173,8 +173,19 @@ def main(argv=None):
     test_set = get_dataset(config.test_set, "test", config)
     batch = _round_up(config.batch_size, n_dev)
     config.eval_batch_size = _round_up(config.eval_batch_size, n_dev)
-    train_loader = Loader(train_set, batch, shuffle=True, drop_last=True,
-                          num_workers=config.num_workers)
+
+    def train_loader_cls(dataset, *a, **kw):
+        # Packed datasets take the vectorized fast path inside Loader; the
+        # shm backend only pays off for decode-heavy per-sample datasets.
+        if config.loader == "shm" and not hasattr(dataset, "get_batch"):
+            from semiuhpe_tpu.data.shm_loader import ShmLoader
+
+            return ShmLoader(dataset, *a, **kw)
+        return Loader(dataset, *a, **kw)
+
+    train_loader = train_loader_cls(train_set, batch, shuffle=True,
+                                    drop_last=True,
+                                    num_workers=config.num_workers)
     assert len(train_loader) > 0, (
         f"labeled set ({len(train_set)} samples) smaller than one batch "
         f"({batch}); lower --batch_size or raise --ss_ratio")
@@ -185,8 +196,9 @@ def main(argv=None):
     if do_ssl:
         ulb_set = maybe_packed(config.train_unlabeled, "ulb_train")
         ulb_batch = _round_up(round(config.batch_size * config.ulb_batch_ratio), n_dev)
-        ulb_loader = Loader(ulb_set, ulb_batch, shuffle=True, drop_last=True,
-                            num_workers=config.num_workers)
+        ulb_loader = train_loader_cls(ulb_set, ulb_batch, shuffle=True,
+                                      drop_last=True,
+                                      num_workers=config.num_workers)
         # Device-side prefetch: unlabeled batches land sharded on the mesh
         # two steps ahead of consumption (overlaps H2D with compute).
         ulb_iter = prefetch_to_device(cycle(ulb_loader), mesh, depth=2)

@@ -85,6 +85,12 @@ def build_parser(phase: str) -> argparse.ArgumentParser:
                         "behavior)")
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--loader", type=str, default="threads",
+                   choices=["threads", "shm"],
+                   help="train-loader backend: 'threads' (PIL/cv2 release "
+                        "the GIL) or 'shm' (spawn workers + shared-memory "
+                        "batch ring, data/shm_loader.py — scales decode "
+                        "across cores with zero per-sample IPC)")
     p.add_argument("--stage1_iteration", type=int, default=50000)
     p.add_argument("--max_iteration", type=int, default=150000)
     p.add_argument("--log_frequency", type=int, default=100)
