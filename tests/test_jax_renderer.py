@@ -48,8 +48,10 @@ class TestRasterizeBatch:
         from semiuhpe_tpu.render.headmesh import make_head_mesh
 
         v, t = make_head_mesh(24, 32)
-        # Project two posed heads to pixel coords.
-        scale, center = 200.0, 32.0
+        # Project two posed heads to pixel coords.  The mesh spans ~[-0.9,
+        # 0.9] (FLAME canonical frame), so scale 24 px/unit fits a head of
+        # ~43 px diameter inside the 64 px frame.
+        scale, center = 24.0, 32.0
         rots = np.stack([np.eye(3), np.diag([-1.0, 1.0, -1.0])]).astype(np.float32)
         pv = np.einsum("bij,vj->bvi", rots, v)
         pix = np.stack([pv[..., 0] * scale + center,
