@@ -180,8 +180,14 @@ def fisher_nll(a: jnp.ndarray, r: jnp.ndarray, overreg: float = 1.05):
     nll = -tr(A^T R) + overreg * log C_F(S).
     """
     a = a.reshape(a.shape[:-1] + (3, 3)) if a.shape[-1] == 9 else a
-    nll = -_trace_atb(a, r) + overreg * log_fisher_normalizer(a)
-    return nll, special_procrustes(a)
+    # One shared proper SVD serves both the normalizer (gradient = exact
+    # U diag(dlogC/dS) V^T via log_fisher_normalizer_from_s + safe_svd's
+    # custom JVP — never through the SVD decomposition's own autodiff) and
+    # the mode U V^T (== special_procrustes(a), det +1 by construction).
+    u, s, v = proper_svd(a)
+    nll = -_trace_atb(a, r) + overreg * log_fisher_normalizer_from_s(s)
+    pred_orth = jax.lax.stop_gradient(u @ jnp.swapaxes(v, -1, -2))
+    return nll, pred_orth
 
 
 def fisher_log_pdf(a: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
@@ -224,12 +230,17 @@ def a_to_v_lam(a: jnp.ndarray):
     cf. /root/reference/src/fisher/between_bingham_fisher.py:107-135 — but
     computed as cheap column-sign flips of U instead of dense E products.
     """
-    u, s, v = proper_svd(a)
+    return _v_lam_from_svd(*proper_svd(a))
+
+
+def _v_lam_from_svd(u, s, v):
+    """Bingham (V, Lam) from a precomputed proper SVD (shared-SVD fast path)."""
+    a_dtype = u.dtype
     lam = s_to_lam(s)
     vt = jnp.swapaxes(v, -1, -2)
     signs = jnp.array(
         [[1.0, -1.0, -1.0], [-1.0, 1.0, -1.0], [-1.0, -1.0, 1.0], [1.0, 1.0, 1.0]],
-        dtype=a.dtype,
+        dtype=a_dtype,
     )
     # m[k] = U diag(signs[k]) V^T, batched over the leading dims and k.
     m = jnp.einsum("...ij,kj,...jl->...kil", u, signs, vt)
@@ -279,7 +290,7 @@ def bingham_entropy(lam_b: jnp.ndarray) -> jnp.ndarray:
     return bingham_log_f(lam_b) - jnp.sum(lam_b * bingham_dlog_f(lam_b), axis=-1)
 
 
-def bingham_cross_entropy(v1, lam1, v2, lam2):
+def bingham_cross_entropy(v1, lam1, v2, lam2, dlogf1=None, log_f2=None):
     """H(f1, f2) between Bingham-convention distributions; f1 is the target
     (no gradients expected), f2 the prediction.
 
@@ -288,13 +299,18 @@ def bingham_cross_entropy(v1, lam1, v2, lam2):
     mu1 = first column of V1 (the lam=0 mode quaternion).  Matches
     /root/reference/src/fisher/bingham_utils.py:5-32 with the flattened
     ``LamB1.argmax()`` pivot resolved to its batched meaning (column 0).
+
+    ``dlogf1`` / ``log_f2`` accept precomputed values (the fused SSL path
+    shares them with the entropy mask / labeled-NLL quadratures).
     """
     mu1 = v1[..., :, 0]  # (..., 4)
     v1_r, v2_r = v1[..., :, 1:], v2[..., :, 1:]  # (..., 4, 3)
     lam1_r, lam2_r = lam1[..., 1:], lam2[..., 1:]  # (..., 3)
 
-    log_f2 = bingham_log_f(lam2_r)
-    dlogf1 = bingham_dlog_f(lam1_r)  # (..., 3)
+    if log_f2 is None:
+        log_f2 = bingham_log_f(lam2_r)
+    if dlogf1 is None:
+        dlogf1 = bingham_dlog_f(lam1_r)  # (..., 3)
 
     m = jnp.einsum("...ki,...kj->...ij", v1_r, v2_r)  # (..., 3, 3)
     b = jnp.einsum("...k,...kj->...j", mu1, v2_r)  # (..., 3)
@@ -330,3 +346,87 @@ def fisher_cross_entropy(a1: jnp.ndarray, a2: jnp.ndarray) -> jnp.ndarray:
     vb1, lamb1 = to_bingham_convention(v1, lam1)
     vb2, lamb2 = to_bingham_convention(v2, lam2)
     return bingham_cross_entropy(vb1, lamb1, vb2, lamb2) - LOG_2PI2
+
+
+# ---------------------------------------------------------------------------
+# Fused SSL-step fast paths (shared SVDs / shared normalizer quadratures)
+# ---------------------------------------------------------------------------
+
+def bingham_log_f_and_dlog_f(lam_b: jnp.ndarray):
+    """(logF, dlogF) for Bingham-convention lam (..., 4), computed in ONE
+    forward + ONE backward quadrature pass (vs. separate ``bingham_log_f``
+    + ``bingham_dlog_f`` calls, which repeat the forward).  Both outputs
+    are stop-gradient-free but the caller (teacher side) wraps inputs in
+    stop_gradient already."""
+
+    def f(l):
+        v = bingham_log_f(l)
+        return jnp.sum(v), v
+
+    g, v = jax.grad(f, has_aux=True)(lam_b)
+    return v, g
+
+
+def fisher_teacher_stats(a1: jnp.ndarray):
+    """Fused teacher-side statistics for the SSL step.
+
+    From ONE proper SVD and ONE normalizer fwd+bwd quadrature pass over the
+    (stop-gradient) teacher output A1 (..., 9)/(..., 3, 3), returns::
+
+        entropy    — differential entropy (== fisher_entropy(a1)), the
+                     confidence score for the mask;
+        pseudo_rot — distribution mode U V^T (== special_procrustes(a1));
+        target     — (vb1, lamb1, dlogf1) consumed by
+                     fisher_nll_and_cross_entropy / bingham_cross_entropy.
+
+    Replaces the separate fisher_entropy + special_procrustes +
+    fisher_cross_entropy teacher-side computations, which between them ran
+    three SVDs and nine quadratures on the same tensor.
+    """
+    a1 = a1.reshape(a1.shape[:-1] + (3, 3)) if a1.shape[-1] == 9 else a1
+    a1 = jax.lax.stop_gradient(a1)
+    u, s, v = proper_svd(a1)
+    pseudo_rot = u @ jnp.swapaxes(v, -1, -2)  # det=+1 by proper-SVD convention
+    v1, lam1 = _v_lam_from_svd(u, s, v)
+    vb1, lamb1 = to_bingham_convention(v1, lam1)
+    logf4, dlogf4 = bingham_log_f_and_dlog_f(lamb1)
+    entropy = logf4 - jnp.sum(lamb1 * dlogf4, axis=-1) - LOG_2PI2
+    return entropy, pseudo_rot, (vb1, lamb1, dlogf4[..., 1:])
+
+
+def fisher_nll_and_cross_entropy(a_lab, r_lab, a_strong, target,
+                                 overreg: float = 1.05):
+    """Labeled matrix-Fisher NLL + teacher->student Fisher CE, sharing ONE
+    batched proper SVD and ONE log-normalizer quadrature (fwd + custom-VJP
+    bwd) across the concatenated [labeled; strong-unlabeled] outputs.
+
+    Semantically identical to ``fisher_nll(a_lab, r_lab, overreg)`` +
+    ``fisher_cross_entropy(a1_teacher, a_strong)`` (the log F2 term is the
+    same normalizer because the Bingham-convention shift/sort of lam is a
+    uniform shift + permutation, under which lam->S is invariant back to
+    the proper-SVD singular values; property-tested in tests/test_fisher.py).
+
+    ``target`` is the third output of :func:`fisher_teacher_stats`.
+    Returns (nll_per_sample, ce_per_sample, pred_orth_labeled).
+    """
+    vb1, lamb1, dlogf1 = target
+    a_lab = a_lab.reshape(a_lab.shape[:-1] + (3, 3)) if a_lab.shape[-1] == 9 else a_lab
+    a_strong = (a_strong.reshape(a_strong.shape[:-1] + (3, 3))
+                if a_strong.shape[-1] == 9 else a_strong)
+    n = a_lab.shape[0]
+    a = jnp.concatenate([a_lab, a_strong], axis=0)
+    u, s, v = proper_svd(a)
+    logc = log_fisher_normalizer_from_s(s)
+
+    nll = -_trace_atb(a_lab, r_lab) + overreg * logc[:n]
+    pred_orth = jax.lax.stop_gradient(
+        u[:n] @ jnp.swapaxes(v[:n], -1, -2))
+
+    v2, lam2 = _v_lam_from_svd(u[n:], s[n:], v[n:])
+    vb2, lamb2 = to_bingham_convention(v2, lam2)
+    # bingham_log_f(lamb2[..., 1:]) == LOG_2PI2 + log C_F(S) + sum(lamb2)/4
+    # with S the proper-SVD singular values already in hand.
+    log_f2 = LOG_2PI2 + logc[n:] + 0.25 * jnp.sum(lamb2, axis=-1)
+    ce = bingham_cross_entropy(vb1, lamb1, vb2, lamb2,
+                               dlogf1=dlogf1, log_f2=log_f2) - LOG_2PI2
+    return nll, ce, pred_orth

@@ -49,6 +49,14 @@ def error_degrees(pred_rot, gt_rot, gt_euler=None):
     return jnp.mean(jnp.abs(pd_euler - gt_euler), axis=-1)
 
 
+def _net_forward(net, params, batch_stats, img, rng):
+    """Train-mode forward returning (output, updated batch_stats)."""
+    out, mutated = net.apply({"params": params, "batch_stats": batch_stats},
+                             img, train=True, rngs={"dropout": rng},
+                             mutable=["batch_stats"])
+    return out, mutated["batch_stats"]
+
+
 def _supervised_loss(net, params, batch_stats, batch, rng, distribution, grids9,
                      train=True):
     """Returns (loss, (per-sample nll, pred, pred_orth, new_batch_stats))."""
@@ -246,37 +254,59 @@ def make_ssl_step(
         if cutmix_aug:
             ulb_strong = random_cutmix(rng_cutmix, ulb_strong, 3)
 
-        # --- Confidence mask from teacher Fisher entropy.
-        entropy = fisher.fisher_entropy(pred_weak)
+        # --- Confidence mask from teacher Fisher entropy.  On the flagship
+        # matrixFisher+CE recipe the fused teacher-stats path computes the
+        # entropy, the pseudo-rotation mode, and the cached Bingham CE target
+        # from ONE proper SVD + ONE normalizer quadrature pass (equivalence
+        # tested in tests/test_fisher.py::TestFusedSSLPaths).  The entropy is
+        # a function of singular values only, so computing it on the
+        # rotation-adjusted A is identical to the reference's un-adjusted one.
+        fused = distribution != "RotationLaplace" and type_unsuper == "ce"
+        n_ulb = pred_weak.shape[0]
+        if fused:
+            entropy, pseudo_rot, ce_target = fisher.fisher_teacher_stats(
+                pred_weak_adj)
+        else:
+            entropy = fisher.fisher_entropy(pred_weak)
+            pseudo_rot = so3.special_procrustes(pred_weak_adj.reshape(-1, 3, 3))
         mask = (entropy < conf_thres).astype(jnp.float32)
         mask_ratio = jnp.mean(mask)
-        n_ulb = pred_weak.shape[0]
-
-        pseudo_rot = so3.special_procrustes(pred_weak_adj.reshape(-1, 3, 3))
 
         def loss_fn(params):
-            sup_loss, (out, pred_orth, new_stats) = _supervised_loss(
-                net, params, state.batch_stats, batch, rng_sup, distribution,
-                grids9)
-            pred_strong, s_mutated = net.apply(
-                {"params": params, "batch_stats": new_stats}, ulb_strong,
-                train=True, rngs={"dropout": rng_student},
-                mutable=["batch_stats"])
-            if type_unsuper == "ce":
-                per_sample = fisher.fisher_cross_entropy(pred_weak_adj, pred_strong)
-            else:  # 'nll'
-                if distribution == "RotationLaplace":
-                    per_sample, _ = laplace.laplace_nll(
-                        pred_strong, pseudo_rot, grids9)
-                else:
-                    per_sample, _ = fisher.fisher_nll(
-                        pred_strong, pseudo_rot, overreg=1.025)
+            if fused:
+                # Labeled NLL + strong-view CE share one concatenated SVD and
+                # one normalizer quadrature (custom-VJP bwd included).
+                out, new_stats = _net_forward(net, params, state.batch_stats,
+                                              batch["img"], rng_sup)
+                pred_strong, strong_stats = _net_forward(
+                    net, params, new_stats, ulb_strong, rng_student)
+                nll, per_sample, pred_orth = fisher.fisher_nll_and_cross_entropy(
+                    out, batch["rot_mat"], pred_strong, ce_target, overreg=1.025)
+                sup_loss = jnp.mean(nll)
+            else:
+                sup_loss, (out, pred_orth, new_stats) = _supervised_loss(
+                    net, params, state.batch_stats, batch, rng_sup, distribution,
+                    grids9)
+                pred_strong, s_mutated = net.apply(
+                    {"params": params, "batch_stats": new_stats}, ulb_strong,
+                    train=True, rngs={"dropout": rng_student},
+                    mutable=["batch_stats"])
+                strong_stats = s_mutated["batch_stats"]
+                if type_unsuper == "ce":
+                    per_sample = fisher.fisher_cross_entropy(
+                        pred_weak_adj, pred_strong)
+                else:  # 'nll'
+                    if distribution == "RotationLaplace":
+                        per_sample, _ = laplace.laplace_nll(
+                            pred_strong, pseudo_rot, grids9)
+                    else:
+                        per_sample, _ = fisher.fisher_nll(
+                            pred_strong, pseudo_rot, overreg=1.025)
             # mean-over-masked * mask_ratio  ==  masked-sum / batch size
             # (agent.py:163-168) — shard-safe as a plain global sum.
             unsuper_loss = jnp.sum(per_sample * mask) / n_ulb
             total = sup_loss + ssl_lambda * unsuper_loss
-            aux = (sup_loss, unsuper_loss, pred_orth, pred_strong,
-                   s_mutated["batch_stats"])
+            aux = (sup_loss, unsuper_loss, pred_orth, pred_strong, strong_stats)
             return total, aux
 
         (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -299,8 +329,7 @@ def make_ssl_step(
             metrics["err_deg"] = jnp.mean(err)
             # Diagnostics vs unlabeled GT when present (agent.py:171-181).
             if "rot_mat" in ulb_batch:
-                weak_rot = so3.special_procrustes(pred_weak_adj.reshape(-1, 3, 3))
-                e_all = error_degrees(weak_rot, ulb_batch["rot_mat"])
+                e_all = error_degrees(pseudo_rot, ulb_batch["rot_mat"])
                 metrics["err_weakAll_gt"] = jnp.mean(e_all)
                 metrics["err_weakPseudo_gt"] = (
                     jnp.sum(e_all * mask) / jnp.maximum(jnp.sum(mask), 1.0))

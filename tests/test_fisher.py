@@ -343,3 +343,82 @@ class TestSafeSVD:
 
         g = jax.grad(lambda a: jnp.mean(fisher.fisher_cross_entropy(a1, a)))(a2)
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestFusedSSLPaths:
+    """The fused teacher/student fast paths must be numerically identical
+    (values AND gradients) to the separate reference-parity functions they
+    replace in the SSL step."""
+
+    def _random_a(self, rng, n, scale=3.0):
+        return jnp.asarray(rng.normal(size=(n, 3, 3)).astype(np.float32) * scale)
+
+    def test_teacher_stats_match_separate_paths(self, rng):
+        a1 = self._random_a(rng, 12)
+        entropy, pseudo_rot, (vb1, lamb1, dlogf1) = fisher.fisher_teacher_stats(a1)
+
+        np.testing.assert_allclose(np.asarray(entropy),
+                                   np.asarray(fisher.fisher_entropy(a1)),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(pseudo_rot),
+                                   np.asarray(so3.special_procrustes(a1)),
+                                   rtol=1e-5, atol=1e-5)
+        # Cached (vb1, lamb1, dlogf1) must reproduce fisher_cross_entropy.
+        a2 = self._random_a(rng, 12, scale=1.5)
+        v2, lam2 = fisher.a_to_v_lam(a2)
+        vb2, lamb2 = fisher.to_bingham_convention(v2, lam2)
+        ce_cached = fisher.bingham_cross_entropy(
+            vb1, lamb1, vb2, lamb2, dlogf1=dlogf1) - fisher.LOG_2PI2
+        ce_ref = fisher.fisher_cross_entropy(a1, a2)
+        np.testing.assert_allclose(np.asarray(ce_cached), np.asarray(ce_ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_lam_roundtrip_invariance(self, rng):
+        """The fused log_f2 shortcut relies on lam_bingham_to_s recovering
+        the proper-SVD singular values after the Bingham shift+sort."""
+        a = self._random_a(rng, 32)
+        _, s, _ = so3.proper_svd(a)
+        _, lamb = fisher.to_bingham_convention(None, fisher.s_to_lam(s))
+        s_back = fisher.lam_bingham_to_s(lamb)
+        np.testing.assert_allclose(np.asarray(s_back), np.asarray(s),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_fused_nll_and_ce_values_and_grads(self, rng):
+        a1 = self._random_a(rng, 8)  # teacher (stop-grad)
+        r_lab = jnp.asarray(random_rotations(rng, 6))
+        _, _, target = fisher.fisher_teacher_stats(a1)
+
+        def fused(a_lab, a_strong):
+            nll, ce, _ = fisher.fisher_nll_and_cross_entropy(
+                a_lab, r_lab, a_strong, target, overreg=1.025)
+            return jnp.mean(nll) + 0.37 * jnp.mean(ce)
+
+        def separate(a_lab, a_strong):
+            nll, _ = fisher.fisher_nll(a_lab, r_lab, overreg=1.025)
+            ce = fisher.fisher_cross_entropy(a1, a_strong)
+            return jnp.mean(nll) + 0.37 * jnp.mean(ce)
+
+        a_lab = self._random_a(rng, 6, scale=2.0)
+        a_strong = self._random_a(rng, 8, scale=1.5)
+
+        v_f = float(fused(a_lab, a_strong))
+        v_s = float(separate(a_lab, a_strong))
+        np.testing.assert_allclose(v_f, v_s, rtol=1e-5, atol=1e-5)
+
+        g_f = jax.grad(fused, argnums=(0, 1))(a_lab, a_strong)
+        g_s = jax.grad(separate, argnums=(0, 1))(a_lab, a_strong)
+        for gf, gs in zip(g_f, g_s):
+            np.testing.assert_allclose(np.asarray(gf), np.asarray(gs),
+                                       rtol=2e-4, atol=2e-4)
+
+    def test_fused_pred_orth_matches_procrustes(self, rng):
+        a_lab = self._random_a(rng, 5)
+        a_strong = self._random_a(rng, 7)
+        a1 = self._random_a(rng, 7)
+        r_lab = jnp.asarray(random_rotations(rng, 5))
+        _, _, target = fisher.fisher_teacher_stats(a1)
+        _, _, pred_orth = fisher.fisher_nll_and_cross_entropy(
+            a_lab, r_lab, a_strong, target)
+        np.testing.assert_allclose(np.asarray(pred_orth),
+                                   np.asarray(so3.special_procrustes(a_lab)),
+                                   rtol=1e-5, atol=1e-5)
