@@ -261,7 +261,9 @@ def make_ssl_step(
         # tested in tests/test_fisher.py::TestFusedSSLPaths).  The entropy is
         # a function of singular values only, so computing it on the
         # rotation-adjusted A is identical to the reference's un-adjusted one.
-        fused = distribution != "RotationLaplace" and type_unsuper == "ce"
+        import os as _os
+        fused = (distribution != "RotationLaplace" and type_unsuper == "ce"
+                 and _os.environ.get("SEMIUHPE_NO_FUSED") != "1")
         n_ulb = pred_weak.shape[0]
         if fused:
             entropy, pseudo_rot, ce_target = fisher.fisher_teacher_stats(
