@@ -26,18 +26,38 @@ class TrainState:
     opt_state: Any
 
 
-def make_optimizer(lr: float, grad_clip: float = 0.0) -> optax.GradientTransformation:
+def make_optimizer(lr: float, grad_clip: float = 0.0,
+                   flat: bool | None = None) -> optax.GradientTransformation:
     """Adam with runtime-adjustable learning rate (the stage-2 x0.1 drop,
     /root/reference/train.py:104-109, happens without retracing); optional
     global-norm gradient clipping (off by default — the reference does not
     clip — but useful insurance against rare near-degenerate-SVD gradient
-    spikes on the Fisher-CE path)."""
+    spikes on the Fisher-CE path).
+
+    ``flat=True`` wraps Adam in ``optax.flatten`` so its moment updates run
+    on one contiguous vector instead of ~200 per-tensor ops (a
+    multi-tensor-apply: tiny BN/bias tensors stop wasting VPU lanes and the
+    whole update is a handful of 21M-element fused kernels).  Numerically
+    identical for Adam (elementwise).  Changes the opt_state pytree layout,
+    so checkpoints are only compatible with the same setting.  Default off;
+    env ``SEMIUHPE_FLAT_OPT=1`` turns it on process-wide (bench A/Bs)."""
+    if flat is None:
+        import os
+        flat = os.environ.get("SEMIUHPE_FLAT_OPT") == "1"
+
+    def wrap(tx):
+        return optax.flatten(tx) if flat else tx
+
     if grad_clip and grad_clip > 0:
         def factory(learning_rate):
-            return optax.chain(optax.clip_by_global_norm(grad_clip),
-                               optax.adam(learning_rate))
+            return wrap(optax.chain(optax.clip_by_global_norm(grad_clip),
+                                    optax.adam(learning_rate)))
         return optax.inject_hyperparams(factory)(learning_rate=lr)
-    return optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+
+    def factory_adam(learning_rate):
+        return wrap(optax.adam(learning_rate))
+
+    return optax.inject_hyperparams(factory_adam)(learning_rate=lr)
 
 
 def set_learning_rate(state: TrainState, lr: float) -> TrainState:

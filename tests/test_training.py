@@ -319,3 +319,30 @@ class TestFusedToggleParity:
         # sign flip to +/-lr.  Gradient-level equivalence of the fused loss
         # is covered by TestFusedSSLPaths in test_fisher.py.
         del s_fused, s_plain
+
+
+class TestFlatOptimizer:
+    def test_flat_adam_matches_tree_adam(self, net, rng):
+        """optax.flatten-wrapped Adam (multi-tensor-apply style single-vector
+        update) must produce identical updates and honor the runtime LR."""
+        import optax
+        from semiuhpe_tpu.training.state import make_optimizer
+
+        state = jax.jit(lambda k: create_train_state(
+            net, k, (16, 16, 3), 1e-3))(jax.random.key(0))
+        g = jax.tree_util.tree_map(lambda p: jnp.ones_like(p) * 0.1,
+                                   state.params)
+        tx_tree = make_optimizer(1e-3, flat=False)
+        tx_flat = make_optimizer(1e-3, flat=True)
+        up_t, _ = tx_tree.update(g, tx_tree.init(state.params), state.params)
+        s_flat = tx_flat.init(state.params)
+        up_f, s_flat2 = tx_flat.update(g, s_flat, state.params)
+        for a, b in zip(jax.tree_util.tree_leaves(up_t),
+                        jax.tree_util.tree_leaves(up_f)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+        # Runtime LR adjustment still works through inject_hyperparams.
+        s_flat2.hyperparams["learning_rate"] = jnp.float32(1e-4)
+        up_f2, _ = tx_flat.update(g, s_flat2, state.params)
+        leaf = jnp.abs(jax.tree_util.tree_leaves(up_f2)[0]).max()
+        assert float(leaf) < 1.2e-4
