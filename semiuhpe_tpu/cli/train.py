@@ -286,7 +286,8 @@ def main(argv=None):
                     logger.line("stage boundary: reloaded best checkpoint")
                 except FileNotFoundError:
                     logger.line("stage boundary: no best checkpoint to reload")
-                state = set_learning_rate(state, config.lr * 0.1)
+                state = set_learning_rate(
+                    state, config.lr * config.stage2_lr_scale)
 
             # Profiler window management.
             if config.profile_dir and it == config.profile_start:

@@ -115,6 +115,12 @@ def build_parser(phase: str) -> argparse.ArgumentParser:
                         "first sweep against the just-reloaded teacher at "
                         "the stage boundary, train.py:242-251 — faithfully "
                         "reproduced when false)")
+    p.add_argument("--stage2_lr_scale", type=float, default=0.1,
+                   help="stage-boundary LR multiplier; 0.1 reproduces the "
+                        "reference's hardcoded x0.1 drop (train.py:104-109), "
+                        "1.0 keeps the stage-1 LR (useful on compressed "
+                        "schedules where stage-1 overfits scarce labels and "
+                        "stage-2 consistency needs a live learning rate)")
     p.add_argument("--left_ratio", type=float, default=0.95)
     p.add_argument("--std_ratio", type=float, default=2.0,
                    help="legacy mean+k*std thresholding (defective in ref)")
