@@ -216,7 +216,12 @@ def lam_bingham_to_s(lam_b: jnp.ndarray) -> jnp.ndarray:
     """Bingham-convention concentrations (..., 4, descending with lam[0]=0)
     -> Fisher signed singular values (s1 >= s2 >= |s3|, s3 signed)."""
     s_raw = lam_to_s(lam_b)
-    s_sorted = -jnp.sort(-jnp.abs(s_raw), axis=-1)
+    # 3-element descending sorting network (no sort kernel — fuses).
+    s_sorted = jnp.abs(s_raw)
+    for i, j in ((0, 1), (1, 2), (0, 1)):
+        lo = jnp.minimum(s_sorted[..., i], s_sorted[..., j])
+        hi = jnp.maximum(s_sorted[..., i], s_sorted[..., j])
+        s_sorted = s_sorted.at[..., i].set(hi).at[..., j].set(lo)
     sign = jnp.sign(jnp.prod(s_raw, axis=-1))
     return s_sorted.at[..., 2].multiply(sign)
 
@@ -251,12 +256,27 @@ def _v_lam_from_svd(u, s, v):
 def to_bingham_convention(v, lam):
     """Shift so max(lam) = 0 and sort descending, permuting V columns along.
     Parity: /root/reference/src/fisher/between_bingham_fisher.py:138-152."""
-    lam_shifted = lam - jnp.max(lam, axis=-1, keepdims=True)
-    order = jnp.argsort(-lam_shifted, axis=-1)
-    lam_b = jnp.take_along_axis(lam_shifted, order, axis=-1)
+    lam_b = lam - jnp.max(lam, axis=-1, keepdims=True)
+    # 4-element descending sorting network carrying V's columns along —
+    # replaces argsort + two take_along_axis gathers (fusion barriers on
+    # the teacher-stats hot path) with jnp.where compare-swaps.  Ties keep
+    # their relative order (strict < never swaps equal lams), and equal-lam
+    # columns are exchangeable downstream anyway.
     if v is None:
+        for i, j in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+            lo = jnp.minimum(lam_b[..., i], lam_b[..., j])
+            hi = jnp.maximum(lam_b[..., i], lam_b[..., j])
+            lam_b = lam_b.at[..., i].set(hi).at[..., j].set(lo)
         return None, lam_b
-    v_b = jnp.take_along_axis(v, order[..., None, :], axis=-1)
+    v_b = v
+    for i, j in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+        swap = lam_b[..., i] < lam_b[..., j]
+        li = jnp.where(swap, lam_b[..., j], lam_b[..., i])
+        lj = jnp.where(swap, lam_b[..., i], lam_b[..., j])
+        lam_b = lam_b.at[..., i].set(li).at[..., j].set(lj)
+        ci = jnp.where(swap[..., None], v_b[..., :, j], v_b[..., :, i])
+        cj = jnp.where(swap[..., None], v_b[..., :, i], v_b[..., :, j])
+        v_b = v_b.at[..., :, i].set(ci).at[..., :, j].set(cj)
     return v_b, lam_b
 
 

@@ -16,9 +16,131 @@ angles ordered (pitch, yaw, roll) = rotations about (x, y, z).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# 3x3 SVD backend: "jacobi" (default) is the fully-unrolled fixed-count
+# Jacobi eigensolver below — pure elementwise math that XLA fuses into the
+# surrounding program.  "xla" is `jnp.linalg.svd`, whose TPU lowering is an
+# iterative while-loop: correct, but a fusion barrier that serializes the
+# step into dozens of small kernel launches (measured ~1.2 ms/call in-scan
+# at (128,3,3) on v5e vs sub-0.1 ms fused).  Override: SEMIUHPE_SVD=xla.
+_SVD_BACKEND = os.environ.get("SEMIUHPE_SVD", "jacobi")
+
+
+def _jacobi_rotate(b: jnp.ndarray, v: jnp.ndarray, p: int, q: int):
+    """One two-sided Jacobi rotation zeroing b[..., p, q] of a symmetric
+    batch ``b``, accumulating the eigenvector estimate into ``v``'s columns.
+    theta = 0.5*atan2(2*b_pq, b_pp - b_qq) is branch-free (atan2 handles the
+    b_pp == b_qq and b_pq == 0 corners), so the whole solver is elementwise.
+    """
+    bpp, bqq, bpq = b[..., p, p], b[..., q, q], b[..., p, q]
+    th = 0.5 * jnp.arctan2(2.0 * bpq, bpp - bqq)
+    c, s = jnp.cos(th)[..., None], jnp.sin(th)[..., None]
+    rp = c * b[..., p, :] + s * b[..., q, :]
+    rq = -s * b[..., p, :] + c * b[..., q, :]
+    b = b.at[..., p, :].set(rp).at[..., q, :].set(rq)
+    cp = c * b[..., :, p] + s * b[..., :, q]
+    cq = -s * b[..., :, p] + c * b[..., :, q]
+    b = b.at[..., :, p].set(cp).at[..., :, q].set(cq)
+    vp = c * v[..., :, p] + s * v[..., :, q]
+    vq = -s * v[..., :, p] + c * v[..., :, q]
+    v = v.at[..., :, p].set(vp).at[..., :, q].set(vq)
+    return b, v
+
+
+def jacobi_eigh3(b: jnp.ndarray, sweeps: int = 6):
+    """Eigendecomposition of a symmetric (..., 3, 3) batch by ``sweeps``
+    fully-unrolled cyclic Jacobi sweeps (quadratic convergence: 6 sweeps
+    reach fp32 roundoff).  Returns (w, v) with eigenvalues DESCENDING and
+    ``v``'s columns the matching orthonormal eigenvectors.  No
+    data-dependent control flow — fuses under jit."""
+    v = jnp.broadcast_to(jnp.eye(3, dtype=b.dtype), b.shape)
+    for _ in range(sweeps):
+        for (p, q) in ((0, 1), (0, 2), (1, 2)):
+            b, v = _jacobi_rotate(b, v, p, q)
+    w = jnp.stack([b[..., 0, 0], b[..., 1, 1], b[..., 2, 2]], -1)
+
+    # Descending order via a 3-element sorting network (compare-swaps on
+    # (0,1),(1,2),(0,1)) — jnp.where selects, no sort kernel.
+    def cswap(w, v, i, j):
+        swap = (w[..., i] < w[..., j])[..., None]
+        wi = jnp.where(swap[..., 0], w[..., j], w[..., i])
+        wj = jnp.where(swap[..., 0], w[..., i], w[..., j])
+        vi = jnp.where(swap, v[..., :, j], v[..., :, i])
+        vj = jnp.where(swap, v[..., :, i], v[..., :, j])
+        w = w.at[..., i].set(wi).at[..., j].set(wj)
+        v = v.at[..., :, i].set(vi).at[..., :, j].set(vj)
+        return w, v
+
+    for (i, j) in ((0, 1), (1, 2), (0, 1)):
+        w, v = cswap(w, v, i, j)
+    return w, v
+
+
+def _normalize_rows(x: jnp.ndarray) -> jnp.ndarray:
+    n = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    return x / jnp.maximum(n, jnp.finfo(x.dtype).tiny)
+
+
+def svd3(a: jnp.ndarray, sweeps: int = 6):
+    """Batched (..., 3, 3) SVD via Jacobi eigendecomposition of A^T A —
+    returns (u, s, vt) with the `jnp.linalg.svd(full_matrices=False)`
+    convention (s >= 0 descending, U/V column signs arbitrary).
+
+    Rationale + trade-off: unlike the XLA SVD's iterative while-loop this
+    is straight-line elementwise code, so it fuses into one kernel under
+    jit.  Forming A^T A squares the condition number, so tiny singular
+    values lose relative accuracy once s1/s3 exceeds ~1/sqrt(eps_f32); on
+    the Fisher paths (A = concentration * rotation-ish, moderate
+    anisotropy) that regime only occurs near-degenerate where the SVD is
+    non-unique anyway and callers' conventions absorb it.  U columns for
+    invalid (relative < 1e-5) singular values are completed orthonormally
+    (Gram-Schmidt + cross products), so U stays orthogonal for
+    rank-deficient A including A = 0."""
+    dtype = a.dtype
+    a = a.astype(jnp.float32)
+    b = jnp.einsum("...ji,...jk->...ik", a, a)
+    w, v = jacobi_eigh3(b, sweeps)
+    s = jnp.sqrt(jnp.maximum(w, 0.0))
+    scale = jnp.maximum(s[..., 0:1], jnp.finfo(jnp.float32).tiny)
+    ok = s > 1e-5 * scale
+    av = jnp.einsum("...ij,...jk->...ik", a, v)
+    u1r = av[..., :, 0]
+    e1 = jnp.zeros_like(u1r).at[..., 0].set(1.0)
+    u1 = jnp.where(ok[..., 0:1], _normalize_rows(u1r), e1)
+    u2r = av[..., :, 1]
+    u2g = u2r - jnp.sum(u2r * u1, -1, keepdims=True) * u1
+    pick = jnp.where(jnp.abs(u1[..., 0:1]) < 0.9, e1,
+                     jnp.zeros_like(u1).at[..., 1].set(1.0))
+    perp = _normalize_rows(jnp.cross(u1, pick))
+    u2 = jnp.where(ok[..., 1:2], _normalize_rows(u2g), perp)
+    u3r = av[..., :, 2]
+    u3g = (u3r - jnp.sum(u3r * u1, -1, keepdims=True) * u1
+               - jnp.sum(u3r * u2, -1, keepdims=True) * u2)
+    u3 = jnp.where(ok[..., 2:3], _normalize_rows(u3g), jnp.cross(u1, u2))
+    u = jnp.stack([u1, u2, u3], -1)
+    vt = jnp.swapaxes(v, -1, -2)
+    return u.astype(dtype), s.astype(dtype), vt.astype(dtype)
+
+
+def _svd3_primal(a: jnp.ndarray):
+    """Backend dispatch for every 3x3 SVD in this module."""
+    if _SVD_BACKEND == "jacobi" and a.shape[-2:] == (3, 3):
+        return svd3(a)
+    return jnp.linalg.svd(a, full_matrices=False)
+
+
+def _singular_values3(a: jnp.ndarray) -> jnp.ndarray:
+    if _SVD_BACKEND == "jacobi" and a.shape[-2:] == (3, 3):
+        a32 = a.astype(jnp.float32)
+        b = jnp.einsum("...ji,...jk->...ik", a32, a32)
+        w, _ = jacobi_eigh3(b)
+        return jnp.sqrt(jnp.maximum(w, 0.0)).astype(a.dtype)
+    return jnp.linalg.svd(a, compute_uv=False)
 
 
 def proper_svd(a: jnp.ndarray):
@@ -56,7 +178,7 @@ def safe_svd(a: jnp.ndarray):
     Tikhonov-regularized gap inverse F_ij = gap / (gap^2 + eps) — exact
     away from degeneracies, bounded at them.
     """
-    u, s, vt = jnp.linalg.svd(a, full_matrices=False)
+    u, s, vt = _svd3_primal(a)
     return u, s, vt
 
 
@@ -64,7 +186,7 @@ def safe_svd(a: jnp.ndarray):
 def _safe_svd_jvp(primals, tangents):
     (a,) = primals
     (da,) = tangents
-    u, s, vt = jnp.linalg.svd(a, full_matrices=False)
+    u, s, vt = _svd3_primal(a)
     p = jnp.einsum("...ji,...jk,...lk->...il", u, da, vt)  # U^T dA V
 
     s2 = s[..., :, None] ** 2
@@ -85,7 +207,7 @@ def _safe_svd_jvp(primals, tangents):
 def signed_singular_values(a: jnp.ndarray) -> jnp.ndarray:
     """(..., 3, 3) -> (..., 3) singular values with s3 given the sign of
     det(U V^T) = sign(det(A)); the matrix-Fisher normalizer argument."""
-    s = jnp.linalg.svd(a, compute_uv=False)
+    s = _singular_values3(a)
     sign = jnp.sign(jnp.linalg.det(a))
     return s.at[..., 2].multiply(sign)
 
@@ -99,7 +221,7 @@ def special_procrustes(a: jnp.ndarray) -> jnp.ndarray:
     and metrics), so gradients are stopped for stability at degenerate s.
     """
     a = jax.lax.stop_gradient(a)
-    u, s, vt = jnp.linalg.svd(a, full_matrices=False)
+    u, s, vt = _svd3_primal(a)
     sign = jnp.sign(jnp.linalg.det(u @ vt))
     u = u.at[..., :, 2].multiply(sign[..., None])
     return u @ vt
