@@ -22,6 +22,7 @@ Synthetic smoke run (no datasets needed):
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 
@@ -141,6 +142,14 @@ def evaluate(eval_step, state, test_loader, mesh, conf_thres, batch_size):
 
 
 def main(argv=None):
+    # SIGUSR1 -> all-thread stack dump on stderr (hang diagnosis without
+    # killing the run; an unhandled SIGUSR1 would terminate the process).
+    import faulthandler
+    import signal
+    try:
+        faulthandler.register(signal.SIGUSR1, all_threads=True)
+    except (AttributeError, ValueError):  # non-main thread / platform quirk
+        pass
     setup_compile_cache()
     config = get_config("train", argv)
     dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
@@ -262,6 +271,14 @@ def main(argv=None):
         logger.line(f"resumed from {config.cont_ckpt} at iter {int(state.step)}")
 
     best_mean_error = 360.0
+    if config.cont_ckpt:
+        # Sidecar keeps best-ckpt semantics across resumes (else the first
+        # val of a resumed run, usually worse, would overwrite `best`).
+        sidecar = os.path.join(config.model_dir, "best_err.json")
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                best_mean_error = float(json.load(f)["err"])
+            logger.line(f"best-so-far restored: {best_mean_error:.4f}")
     conf_thres = config.conf_thres
     meter = Throughput()
     step_timer = StepTimer()
@@ -346,7 +363,15 @@ def main(argv=None):
                     best_mean_error = err
                     save_checkpoint(config.model_dir, "best",
                                     jax.device_get(state))
+                    with open(os.path.join(config.model_dir,
+                                           "best_err.json"), "w") as f:
+                        json.dump({"err": err, "iter": it}, f)
                     logger.line(f"saved best (err {err:.4f})")
+                # Rolling crash-recovery checkpoint: a hang/kill loses at
+                # most val_frequency iterations (resume via --cont_ckpt
+                # <exp>/<date>/latest; restores net+EMA+optimizer+clock).
+                save_checkpoint(config.model_dir, "latest",
+                                jax.device_get(state))
                 if not s1:
                     loss_e, err_e, mratio_e, err_pseudo_e = evaluate(
                         eval_teacher, state, test_loader, mesh, conf_thres,

@@ -144,6 +144,10 @@ def build_parser(phase: str) -> argparse.ArgumentParser:
 
     # synthetic / demo
     p.add_argument("--synthetic_size", type=int, default=2048)
+    p.add_argument("--synthetic_test_size", type=int, default=0,
+                   help="held-out synthetic test-set size; 0 = same as "
+                        "--synthetic_size (decoupled so a large unlabeled "
+                        "pool doesn't inflate eval cost)")
     p.add_argument("--input_size", type=int, default=224,
                    help="crop side; 224 for the reference datasets, smaller "
                         "for synthetic smoke runs")

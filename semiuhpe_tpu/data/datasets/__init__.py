@@ -43,7 +43,10 @@ def get_dataset(name: str, phase: str, config):
             n, offset = n_labeled, 0
         elif phase == "ulb_train":
             n, offset = max(1, total - n_labeled), n_labeled
-        else:  # test / train_all
+        elif phase == "test":
+            n = getattr(config, "synthetic_test_size", 0) or total
+            offset = 0
+        else:  # train_all
             n, offset = total, 0
         return SyntheticHeadPose(
             n=n, offset=offset,
