@@ -26,7 +26,10 @@ def save_checkpoint(model_dir: str, name: str, state: Any) -> str:
 def load_checkpoint(model_dir: str, name: str, template: Any) -> Any:
     """Restore into the structure/shardings of ``template`` (an existing
     TrainState with the right shapes)."""
-    path = os.path.join(model_dir, name)
+    # ``name`` may already be a usable path (resolve_ckpt returns CLI paths
+    # that exist relative to the CWD verbatim) — joining those onto
+    # model_dir would double the prefix.
+    path = name if os.path.isdir(name) else os.path.join(model_dir, name)
     if not os.path.isdir(path):
         path_abs = os.path.abspath(path)
         if not os.path.isdir(path_abs):
