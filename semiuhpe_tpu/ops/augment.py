@@ -32,15 +32,24 @@ class HoleParams(NamedTuple):
 
 
 def sample_holes(rng: jax.Array, batch: int, height: int, width: int,
-                 n_holes: int = 3) -> HoleParams:
-    """Reference hole distribution: centers ~ N(center, dim/6), half-extents
-    ~ U[10, 20), clipped to the image."""
+                 n_holes: int = 3, base_size: int = 224) -> HoleParams:
+    """Reference hole distribution: centers ~ N(image_center, dim/6),
+    half-extents ~ U[10, 20) *at the reference's 224px crop size*
+    (/root/reference/src/augments.py:12-35 hard-codes 10-20px because it
+    only ever sees 224px inputs).  The occlusion is resolution-proportional
+    here: half-extents scale by min(h, w)/base_size, so a 96px smoke crop
+    gets ~4-9px holes with the same relative coverage instead of holes
+    spanning 40% of the face.  At 224px this is bit-identical to the
+    reference bounds."""
     k_cx, k_cy, k_sz = jax.random.split(rng, 3)
     cx = (jax.random.normal(k_cx, (batch, n_holes)) * (width / 6.0)
           + width / 2.0).astype(jnp.int32)
     cy = (jax.random.normal(k_cy, (batch, n_holes)) * (height / 6.0)
           + height / 2.0).astype(jnp.int32)
-    size = jax.random.randint(k_sz, (batch, n_holes, 2), 10, 20)
+    scale = min(height, width) / float(base_size)
+    lo = max(1, round(10 * scale))
+    hi = max(lo + 1, round(20 * scale))
+    size = jax.random.randint(k_sz, (batch, n_holes, 2), lo, hi)
     return HoleParams(
         x0=jnp.clip(cx - size[..., 0], 0, width),
         x1=jnp.clip(cx + size[..., 0], 0, width),

@@ -63,3 +63,17 @@ def test_cutout_zeroes_holes_only():
     assert (out[0, 10:12, 4:8] == 0).all()
     assert out[0].sum() == 32 * 32 * 3 - 2 * 4 * 3
     assert (out[1] == 1).all()
+
+
+def test_hole_sizes_scale_with_resolution():
+    """Half-extents are U[10,20) at 224px (reference parity) and shrink
+    proportionally for smaller crops, keeping relative occlusion fixed."""
+    import jax
+    from semiuhpe_tpu.ops.augment import sample_holes
+
+    h224 = sample_holes(jax.random.key(0), 64, 224, 224)
+    w224 = np.asarray(h224.x1 - h224.x0)
+    assert w224.max() <= 2 * 19 and w224.max() >= 2 * 15  # U[10,20) spans
+    h96 = sample_holes(jax.random.key(0), 64, 96, 96)
+    w96 = np.asarray(h96.x1 - h96.x0)
+    assert w96.max() <= 2 * 8  # ~U[4,9)
