@@ -141,6 +141,18 @@ def evaluate(eval_step, state, test_loader, mesh, conf_thres, batch_size):
             float(masks_n / n_total), err_pseudo)
 
 
+def _rss_gb() -> float:
+    """Host anonymous RSS of this process in GB (Linux)."""
+    try:
+        with open("/proc/self/status") as f:
+            for ln in f:
+                if ln.startswith("VmRSS"):
+                    return int(ln.split()[1]) / 1e6
+    except OSError:
+        pass
+    return 0.0
+
+
 def main(argv=None):
     # SIGUSR1 -> all-thread stack dump on stderr (hang diagnosis without
     # killing the run; an unhandled SIGUSR1 would terminate the process).
@@ -372,6 +384,15 @@ def main(argv=None):
                 # <exp>/<date>/latest; restores net+EMA+optimizer+clock).
                 save_checkpoint(config.model_dir, "latest",
                                 jax.device_get(state))
+                if config.max_rss_gb and _rss_gb() > config.max_rss_gb:
+                    # Voluntary restart point: the axon relay leaks host
+                    # staging per H2D transfer (parallel/mesh.py docstring);
+                    # exit 75 (EX_TEMPFAIL) tells train_auto_resume.sh to
+                    # relaunch from `latest` with a fresh process.
+                    logger.line(
+                        f"host RSS {_rss_gb():.1f} GB > --max_rss_gb "
+                        f"{config.max_rss_gb:g}: exiting 75 for auto-resume")
+                    sys.exit(75)
                 if not s1:
                     loss_e, err_e, mratio_e, err_pseudo_e = evaluate(
                         eval_teacher, state, test_loader, mesh, conf_thres,

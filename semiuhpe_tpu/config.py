@@ -143,6 +143,12 @@ def build_parser(phase: str) -> argparse.ArgumentParser:
     p.add_argument("--eval_batch_size", type=int, default=64)
 
     # synthetic / demo
+    p.add_argument("--max_rss_gb", type=float, default=0.0,
+                   help="voluntary-restart budget: when host RSS exceeds "
+                        "this at a val boundary, save `latest` and exit 75 "
+                        "so an auto-resume wrapper can restart the process "
+                        "(mitigates the axon relay's per-transfer host "
+                        "staging leak; 0 = off)")
     p.add_argument("--synthetic_size", type=int, default=2048)
     p.add_argument("--synthetic_test_size", type=int, default=0,
                    help="held-out synthetic test-set size; 0 = same as "

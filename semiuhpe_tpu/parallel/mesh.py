@@ -48,18 +48,31 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
 
 
 def jit_step(step_fn, mesh: Mesh, n_batch_args: int = 1, n_scalar_args: int = 0,
-             axis: str = "data", donate_state: bool = True):
+             axis: str = "data", donate_state: bool = True,
+             donate_batches: bool = True):
     """jit a ``step(state, *batches, *scalars) -> (state, metrics)`` function
     with state replicated and batches sharded along the data axis.
 
     ``donate_state=True`` lets XLA update parameters in place (halves peak
-    HBM for the state).
-    """
+    HBM for the state).  ``donate_batches=True`` additionally donates the
+    per-step input batches — they are consumed exactly once, so donation
+    releases their device buffers eagerly.
+
+    Known environment issue (measured, not fixed by donation): the axon
+    IFRT-proxy relay leaks ~one host-side staging copy per H2D transfer
+    (~batch-bytes per step; 130 GB OOM over a 23k-iteration SSL run; the
+    CPU backend is flat).  The retention is inside the native proxy
+    client.  Long runs on that backend should use the auto-resume wrapper
+    (scripts/train_auto_resume.sh) which restarts the process from the
+    rolling `latest` checkpoint when RSS is exhausted."""
     state_s = replicated(mesh)
     batch_s = batch_sharding(mesh, axis)
     in_shardings = (state_s,) + (batch_s,) * n_batch_args + (state_s,) * n_scalar_args
+    donate = (0,) if donate_state else ()
+    if donate_batches:
+        donate = donate + tuple(range(1, 1 + n_batch_args))
     return jax.jit(
         step_fn,
         in_shardings=in_shardings,
-        donate_argnums=(0,) if donate_state else (),
+        donate_argnums=donate,
     )
