@@ -29,15 +29,27 @@ latest_ckpt() {
 }
 
 MAX_RESTARTS=${MAX_RESTARTS:-40}
+MAX_CRASH_RETRIES=${MAX_CRASH_RETRIES:-3}
 restart=0
+crashes=0
 extra=()
 while :; do
   python -m semiuhpe_tpu.cli.train "$@" "${extra[@]}"
   rc=$?
   case $rc in
     0) exit 0 ;;
-    75|137) ;;                      # voluntary restart / OOM kill
-    *) echo "train_auto_resume: exit $rc (not resumable)" >&2; exit $rc ;;
+    75|137) crashes=0 ;;            # voluntary restart / OOM kill
+    *)
+      # Transient infra failures (the remote compiler intermittently drops
+      # connections) exit 1; retry a bounded number of consecutive times.
+      crashes=$((crashes + 1))
+      if [ "$crashes" -gt "$MAX_CRASH_RETRIES" ]; then
+        echo "train_auto_resume: exit $rc, $crashes consecutive failures — giving up" >&2
+        exit $rc
+      fi
+      echo "train_auto_resume: exit $rc (crash $crashes/$MAX_CRASH_RETRIES), retrying" >&2
+      sleep 20
+      ;;
   esac
   restart=$((restart + 1))
   if [ "$restart" -gt "$MAX_RESTARTS" ]; then
