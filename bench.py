@@ -83,9 +83,6 @@ def main():
     ulb_batch = -(-(BATCH * ULB_RATIO) // n_chips) * n_chips
 
     net = build_network(NET, dtype=jnp.bfloat16)
-    state = jax.jit(lambda k: create_train_state(net, k, (SIZE, SIZE, 3), 1e-4,
-                                                 jnp.bfloat16))(jax.random.key(0))
-    state = replicate(mesh, state)
 
     # with_diagnostics=False is the steady-state trainer configuration
     # (diagnostic metrics only run on log steps).
@@ -147,18 +144,40 @@ def main():
     n_steps = n_rounds * ROTATE
     many_jit = jax.jit(many, static_argnames="n_rounds", donate_argnums=0)
 
-    t0 = time.time()
-    state, last = many_jit(state, jax.random.key(1), *flat_batches,
-                           n_rounds=n_rounds)
-    last = float(last)  # value fetch: the only real sync on the axon relay
-    compile_s = time.time() - t0
+    def attempt():
+        """One warm-up (compile) + one timed run.  State is donated, so
+        every attempt starts from a freshly materialized state (the
+        init program itself is compile-cached)."""
+        st = jax.jit(lambda k: create_train_state(
+            net, k, (SIZE, SIZE, 3), 1e-4, jnp.bfloat16))(jax.random.key(0))
+        st = replicate(mesh, st)
+        t0 = time.time()
+        st, last = many_jit(st, jax.random.key(1), *flat_batches,
+                            n_rounds=n_rounds)
+        # value fetch: the only real sync on the axon relay
+        last = float(last)
+        compile_s = time.time() - t0
+        t0 = time.time()
+        st, last = many_jit(st, jax.random.key(2), *flat_batches,
+                            n_rounds=n_rounds)
+        last = float(last)
+        dt = time.time() - t0
+        assert np.isfinite(last), last
+        return dt, compile_s
 
-    t0 = time.time()
-    state, last = many_jit(state, jax.random.key(2), *flat_batches,
-                           n_rounds=n_rounds)
-    last = float(last)
-    dt = time.time() - t0
-    assert np.isfinite(last), last
+    # The remote compile service intermittently drops connections
+    # (JaxRuntimeError INTERNAL); retry so a transient blip doesn't void
+    # the benchmark artifact.
+    for retry in range(3):
+        try:
+            dt, compile_s = attempt()
+            break
+        except Exception as e:  # noqa: BLE001 - backend errors vary by type
+            if retry == 2:
+                raise
+            print(f"bench attempt {retry + 1} failed ({type(e).__name__}: "
+                  f"{e}); retrying in 30s", file=sys.stderr)
+            time.sleep(30)
 
     imgs_per_step = batch + ulb_batch
     rate_per_chip = imgs_per_step * n_steps / dt / n_chips
