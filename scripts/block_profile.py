@@ -74,6 +74,129 @@ def main():
         def __call__(self, x, train=True):
             return SqueezeExcite(self.ch // 4, dtype=dt_)(x)
 
+    class ConvSilu(nn.Module):
+        """Conv + bias + silu — the no-BN twin of ConvBN (isolates the cost
+        of train-mode BN's unfusable stat reduction + extra HBM passes)."""
+        ch: int
+        k: int = 1
+
+        @nn.compact
+        def __call__(self, x, train=True):
+            pad = (self.k - 1) // 2
+            x = nn.Conv(self.ch, (self.k, self.k), padding=[(pad, pad)] * 2,
+                        use_bias=True, dtype=dt_)(x)
+            return nn.silu(x)
+
+    class ExpandProjectNoBN(nn.Module):
+        ch: int
+        hidden: int
+
+        @nn.compact
+        def __call__(self, x, train=True):
+            r = x
+            y = ConvSilu(self.hidden)(x)
+            y = nn.Conv(self.ch, (1, 1), use_bias=True, dtype=dt_)(y)
+            return y + r
+
+    class FusedNoBN(nn.Module):
+        ch: int
+        hidden: int
+
+        @nn.compact
+        def __call__(self, x, train=True):
+            r = x
+            y = ConvSilu(self.hidden, 3)(x)
+            y = nn.Conv(self.ch, (1, 1), use_bias=True, dtype=dt_)(y)
+            return y + r
+
+    class DenseBN(nn.Module):
+        """1x1 ConvBN expressed as Dense (dot, not conv custom-call)."""
+        ch: int
+        act: bool = True
+
+        @nn.compact
+        def __call__(self, x, train=True):
+            x = nn.Dense(self.ch, use_bias=False, dtype=dt_)(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-3, dtype=dt_,
+                             axis=-1, axis_name=None,
+                             use_fast_variance=True)(x)
+            return nn.silu(x) if self.act else x
+
+    class ExpandProjectDense(nn.Module):
+        ch: int
+        hidden: int
+
+        @nn.compact
+        def __call__(self, x, train=True):
+            r = x
+            y = DenseBN(self.hidden)(x, train)
+            y = DenseBN(self.ch, act=False)(y, train)
+            return y + r
+
+    class FoldedDenseBN(nn.Module):
+        """1x1 conv + train-mode BN with input-side statistics.
+
+        mean(y) = mean(x) @ W and E[y^2]_c = w_c^T (X^T X / M) w_c, so the
+        BN apply folds into the weights (W*(g/sigma), beta - mu*g/sigma) and
+        the wide hidden tensor is written exactly once (matmul+bias+act),
+        with no stats or normalize passes over it.
+        """
+        ch: int
+        act: bool = True
+
+        @nn.compact
+        def __call__(self, x, train=True):
+            cin = x.shape[-1]
+            w = self.param("kernel", nn.initializers.lecun_normal(),
+                           (cin, self.ch), jnp.float32)
+            gamma = self.param("scale", nn.initializers.ones, (self.ch,),
+                               jnp.float32)
+            beta = self.param("bias", nn.initializers.zeros, (self.ch,),
+                              jnp.float32)
+            xf = x.reshape(-1, cin)
+            m = xf.shape[0]
+            xb = xf.astype(dt_)
+            mean_x = jnp.mean(xb, axis=0, dtype=jnp.float32)
+            gram = jax.lax.dot_general(
+                xb, xb, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) / m
+            mu = mean_x @ w
+            gw = jnp.dot(gram, w, preferred_element_type=jnp.float32)
+            e2 = jnp.sum(w * gw, axis=0)
+            var = e2 - mu * mu
+            inv = gamma * jax.lax.rsqrt(var + 1e-3)
+            w_hat = (w * inv[None, :]).astype(dt_)
+            b_hat = (beta - mu * inv).astype(dt_)
+            y = jnp.dot(xb, w_hat, preferred_element_type=dt_) + b_hat
+            y = y.reshape(x.shape[:-1] + (self.ch,))
+            return nn.silu(y) if self.act else y
+
+    class ExpandProjectFolded(nn.Module):
+        ch: int
+        hidden: int
+
+        @nn.compact
+        def __call__(self, x, train=True):
+            r = x
+            y = FoldedDenseBN(self.hidden)(x, train)
+            y = FoldedDenseBN(self.ch, act=False)(y, train)
+            return y + r
+
+    class ExpandProjectFoldExp(nn.Module):
+        """Fold only the expand (cin<=cout); project keeps standard BN
+        (its gram would cost 6x the project matmul; stats passes there are
+        over the small 160-ch tensor anyway)."""
+        ch: int
+        hidden: int
+
+        @nn.compact
+        def __call__(self, x, train=True):
+            r = x
+            y = FoldedDenseBN(self.hidden)(x, train)
+            y = DenseBN(self.ch, act=False)(y, train)
+            return y + r
+
     def mb(ch, hidden_ratio, se, drop):
         return lambda: MBConv(ch, hidden_ratio, 3, 1, se_ratio=se,
                               drop_rate=drop, dtype=dt_, bn_eps=1e-3)
@@ -94,6 +217,14 @@ def main():
         "s4_full":      (14, 128, Chain(mb(128, 4, 0.25, 0.06), 6)),
         # stage2 shapes: 56x56, 48ch, 4 layers (s1 versions)
         "s2_full":      (56, 48, Chain(fused(48, 4), 4)),
+        # no-BN twins: delta vs the BN versions = train-mode BN cost
+        "s5_expproj_nobn": (14, 160, Chain(lambda: ExpandProjectNoBN(160, 960), 9)),
+        "s2_nobn":      (56, 48, Chain(lambda: FusedNoBN(48, 192), 4)),
+        # dot-instead-of-conv twin: can XLA fuse BN into a dot fusion?
+        "s5_expproj_dense": (14, 160, Chain(lambda: ExpandProjectDense(160, 960), 9)),
+        # input-side-stats BN fold (see FoldedDenseBN docstring)
+        "s5_expproj_fold2": (14, 160, Chain(lambda: ExpandProjectFolded(160, 960), 9)),
+        "s5_expproj_foldexp": (14, 160, Chain(lambda: ExpandProjectFoldExp(160, 960), 9)),
     }
 
     def timeit(name, spatial, ch, mod):
@@ -124,6 +255,17 @@ def main():
             carry, ls = jax.lax.scan(scan_body, carry, jnp.arange(STEPS))
             return ls[-1]
         f = jax.jit(many)
+        if os.environ.get("BENCH_COST_ONLY"):
+            ca = f.lower((p0, s0), jax.random.key(1)).compile().cost_analysis()
+            pick = {k: float(v) for k, v in ca.items()
+                    if k in ("flops", "bytes accessed", "transcendentals")
+                    or k.startswith("bytes accessed")}
+            out = {"variant": name,
+                   "gflops_per_step": round(pick.get("flops", 0) / STEPS / 1e9, 2),
+                   "mb_accessed_per_step": round(
+                       pick.get("bytes accessed", 0) / STEPS / 1e6, 1)}
+            print(json.dumps(out), flush=True)
+            return
         t0 = time.time(); _ = float(f((p0, s0), jax.random.key(1)))
         compile_s = time.time() - t0
         t0 = time.time(); _ = float(f((p0, s0), jax.random.key(2)))
