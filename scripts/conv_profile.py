@@ -141,6 +141,18 @@ def main():
             carry, ls = jax.lax.scan(scan_body, carry, jnp.arange(STEPS))
             return ls[-1]
         f = jax.jit(many)
+        if os.environ.get("BENCH_COST_ONLY"):
+            # NB: XLA's cost_analysis counts a while/scan body ONCE (not
+            # x trip count), so the program totals here are ~per-step
+            # already (plus a negligible epilogue).
+            ca = f.lower(carry0, jax.random.key(1)).compile().cost_analysis()
+            print(json.dumps({
+                "variant": name,
+                "gflops_per_step": round(float(ca.get("flops", 0)) / 1e9, 2),
+                "gb_accessed_per_step": round(
+                    float(ca.get("bytes accessed", 0)) / 1e9, 3),
+            }), flush=True)
+            return
         t0 = time.time(); _ = float(f(carry0, jax.random.key(1)))
         compile_s = time.time() - t0
         t0 = time.time(); _ = float(f(carry0, jax.random.key(2)))
