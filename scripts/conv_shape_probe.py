@@ -28,6 +28,21 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    import hashlib
+    try:
+        flags_line = next(ln for ln in open("/proc/cpuinfo")
+                          if ln.startswith("flags"))
+        fp = hashlib.md5(flags_line.encode()).hexdigest()[:8]
+    except (OSError, StopIteration):
+        fp = "generic"
+    cache = os.path.expanduser(
+        f"~/.cache/jax_cache_{jax.default_backend()}_{fp}")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     dt_ = jnp.bfloat16
 
@@ -46,6 +61,19 @@ def main():
         "ctl_56_128_128": (56, 128, 128, 3, 1),
         # stem (224->112, 3->24): tiny-Cin pathology
         "stem_3_24_s2": (224, 3, 24, 3, 2),
+        # space-to-depth twins (exact rewrites):
+        # stem dense lift: 3x3 s2 (112^2,12)->(56^2,96), 4x FLOPs of orig
+        "stem_lift_12_96": (112, 12, 96, 3, 2),
+        # stage-1 3x3 24->24 @112^2 vs its dense-lift twin 3x3 96->96 @56^2
+        "s1_24_24": (112, 24, 24, 3, 1),
+        "s1_lift_96_96": (56, 96, 96, 3, 1),
+        # 4-phase s2d decomposition unit shapes (one of the 4 calls; whole
+        # conv = 4x this + interleave).  Covers stage-2 expand (Cin_eff=192,
+        # Cout=192) and stage-3 expand (256->256 @14^2).
+        "p4_s2_192_192_k2": (28, 192, 192, 2, 1),
+        "p4_s3_256_256_k2": (14, 256, 256, 2, 1),
+        # stage-2 1x1 project dense lift: 768->192 @28^2 (4x FLOPs of orig)
+        "s2_proj_lift_768_192": (28, 768, 192, 1, 1),
     }
 
     def timeit(name, spatial, cin, cout, k, stride):
@@ -90,7 +118,56 @@ def main():
     for name, spec in PROBES.items():
         if which in (name, "all"):
             timeit(name, *spec)
+    if which in ("im2col", "all"):
+        im2col_probe()
 
+
+
+def im2col_probe():
+    """Explicit im2col+dot twin of s2_48_192 (3x3 48->192 @56^2)."""
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    dt_ = jnp.bfloat16
+    rng = np.random.default_rng(0)
+    B, S, CIN, COUT, K = BATCH, 56, 48, 192, 3
+    x = jnp.asarray(rng.normal(size=(B, S, S, CIN)), dt_)
+    w = jnp.asarray(rng.normal(size=(K * K * CIN, COUT)) * 0.05, dt_)
+
+    def fwd(w_, x_):
+        patches = jax.lax.conv_general_dilated_patches(
+            x_, (K, K), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        m = patches.reshape(-1, K * K * CIN)
+        return jnp.dot(m, w_, preferred_element_type=jnp.float32)
+
+    def body(w_, key):
+        def loss(wi):
+            y = fwd(wi, x)
+            return jnp.mean(y.astype(jnp.float32) ** 2)
+        l, g = jax.value_and_grad(loss)(w_)
+        return w_ - (1e-12 * g).astype(dt_), l
+
+    def many(w_, key):
+        def scan_body(c, i):
+            return body(c, jax.random.fold_in(key, i))
+        w_, ls = jax.lax.scan(scan_body, w_, jnp.arange(STEPS))
+        return ls[-1]
+
+    f = jax.jit(many)
+    t0 = _t.time(); _ = float(f(w, jax.random.key(1)))
+    compile_s = _t.time() - t0
+    t0 = _t.time(); _ = float(f(w, jax.random.key(2)))
+    dt = _t.time() - t0
+    ms = dt / STEPS * 1000
+    flops_fwd = 2 * K * K * CIN * COUT * S * S * B
+    print(json.dumps({
+        "probe": "im2col_s2_48_192", "ms": round(ms, 2),
+        "true_tflops_fwd_wgrad": round(2 * flops_fwd / (dt / STEPS) / 1e12, 1),
+        "compile_s": round(compile_s, 1)}), flush=True)
 
 if __name__ == "__main__":
     main()
