@@ -37,6 +37,21 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    import hashlib
+    try:
+        flags_line = next(ln for ln in open("/proc/cpuinfo")
+                          if ln.startswith("flags"))
+        fp = hashlib.md5(flags_line.encode()).hexdigest()[:8]
+    except (OSError, StopIteration):
+        fp = "generic"
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.expanduser(f"~/.cache/jax_cache_{jax.default_backend()}_{fp}"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
     from semiuhpe_tpu.models import build_network
     from semiuhpe_tpu.models.efficientnetv2 import _CONFIGS
     from semiuhpe_tpu.models.layers import ConvBN, FusedMBConv, MBConv
@@ -114,10 +129,13 @@ def main():
         return (p, s2), l
 
     def make_trunk_body(n):
+        """BENCH_FWD_ONLY=1 times the train-mode forward alone; the
+        trunkN fwd-vs-fwd+bwd diffs attribute the backward-pass cost."""
         tn = Trunk(n)
         tv = jax.jit(lambda: tn.init(
             {"params": jax.random.key(0)},
             jnp.zeros((1, SIZE, SIZE, 3), dt_), train=False))()
+        fwd_only = bool(os.environ.get("BENCH_FWD_ONLY"))
 
         def body(carry, key):
             p, s = carry
@@ -127,6 +145,9 @@ def main():
                                     train=True, mutable=["batch_stats"])
                 return jnp.mean(out.astype(jnp.float32) ** 2), \
                     mut["batch_stats"]
+            if fwd_only:
+                l, s2 = loss_fn(p)
+                return (p, s2), l
             (l, s2), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
             p = jax.tree_util.tree_map(lambda a, b: a - 1e-12 * b, p, g)
             return (p, s2), l

@@ -87,7 +87,18 @@ def main():
                 x_, w_, (stride, stride), [(pad, pad)] * 2,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
+        full_bwd = bool(os.environ.get("BENCH_FULLBWD"))
+
         def body(w_, key):
+            if full_bwd:
+                # differentiate wrt x too -> includes the dgrad conv
+                def loss2(wi, xi):
+                    y = conv(wi, xi)
+                    return jnp.mean(y.astype(jnp.float32) ** 2)
+                l, (gw, gx) = jax.value_and_grad(loss2, argnums=(0, 1))(w_, x)
+                return (w_ - (1e-12 * gw).astype(dt_)
+                        - jnp.asarray(jnp.mean(gx) * 1e-12, dt_)), l
+
             def loss(wi):
                 y = conv(wi, x)
                 return jnp.mean(y.astype(jnp.float32) ** 2)

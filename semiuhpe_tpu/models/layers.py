@@ -20,8 +20,87 @@ import jax.numpy as jnp
 ModuleDef = Any
 
 
+class ConvS2D(nn.Module):
+    """Conv executed in space-to-depth space (ops/s2d.py).
+
+    The parameter keeps the ORIGINAL (k, k, Cin, Cout) shape and the
+    standard flax name/init, so checkpoints and pretrained importers are
+    identical to the plain ``nn.Conv`` path; only execution differs.
+    """
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from semiuhpe_tpu.ops.s2d import s2d_conv
+
+        cin = x.shape[-1] // 4
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel_size, self.kernel_size, cin, self.features),
+            jnp.float32)
+        return s2d_conv(x.astype(self.dtype), kernel.astype(self.dtype),
+                        self.strides)
+
+
+class BatchNormS2D(nn.Module):
+    """BatchNorm over an s2d tensor with original per-channel semantics.
+
+    Parameters/stats match ``nn.BatchNorm`` exactly in name, shape and
+    meaning (scale/bias + running mean/var over the ORIGINAL channels):
+    batch statistics pool the 4 phase groups, which is identical to the
+    plain BN statistics of the un-s2d tensor.
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool):
+        import jax
+
+        from semiuhpe_tpu.ops.s2d import phase_tile, s2d_batch_stats
+
+        c4 = x.shape[-1]
+        c = c4 // 4
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            mean, meansq = s2d_batch_stats(x)
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, self.axis_name)
+                meansq = jax.lax.pmean(meansq, self.axis_name)
+            var = meansq - jnp.square(mean)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1.0 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1.0 - self.momentum) * var)
+        mul = (scale * jax.lax.rsqrt(var + self.epsilon)).astype(self.dtype)
+        shift = (bias - mean * scale
+                 * jax.lax.rsqrt(var + self.epsilon)).astype(self.dtype)
+        return (x.astype(self.dtype) * phase_tile(mul, c4)
+                + phase_tile(shift, c4))
+
+
 class ConvBN(nn.Module):
-    """Conv2D + BatchNorm + optional activation (NHWC)."""
+    """Conv2D + BatchNorm + optional activation (NHWC).
+
+    ``s2d=True`` executes on space-to-depth tensors (B, H/2, W/2, 4C)
+    with identical parameters and math (ops/s2d.py) — the TPU MXU-shaping
+    path for the zoo's low-channel early stages.
+    """
 
     features: int
     kernel_size: int = 3
@@ -32,9 +111,22 @@ class ConvBN(nn.Module):
     axis_name: Optional[str] = None
     padding: Optional[int] = None
     bn_eps: float = 1e-5
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        if self.s2d:
+            assert self.groups == 1 and self.padding is None, \
+                "s2d execution supports dense same-padded convs only"
+            x = ConvS2D(self.features, self.kernel_size, self.strides,
+                        dtype=self.dtype, name="Conv_0")(x)
+            x = BatchNormS2D(momentum=0.9, epsilon=self.bn_eps,
+                             dtype=self.dtype,
+                             axis_name=self.axis_name if train else None,
+                             name="BatchNorm_0")(x, use_running_average=not train)
+            if self.activation is not None:
+                x = self.activation(x)
+            return x
         pad = (self.kernel_size - 1) // 2 if self.padding is None else self.padding
         x = nn.Conv(
             self.features,
@@ -136,22 +228,26 @@ class FusedMBConv(nn.Module):
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
     bn_eps: float = 1e-5
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        inp = x.shape[-1]
+        inp = x.shape[-1] // 4 if self.s2d else x.shape[-1]
         hidden = int(round(inp * self.expand_ratio))
         residual = x
         if self.expand_ratio != 1:
             x = ConvBN(hidden, self.kernel_size, self.strides,
                        activation=self.activation, dtype=self.dtype,
-                       axis_name=self.axis_name, bn_eps=self.bn_eps)(x, train)
+                       axis_name=self.axis_name, bn_eps=self.bn_eps,
+                       s2d=self.s2d)(x, train)
             x = ConvBN(self.features, 1, 1, activation=None, dtype=self.dtype,
-                       axis_name=self.axis_name, bn_eps=self.bn_eps)(x, train)
+                       axis_name=self.axis_name, bn_eps=self.bn_eps,
+                       s2d=self.s2d)(x, train)
         else:
             x = ConvBN(self.features, self.kernel_size, self.strides,
                        activation=self.activation, dtype=self.dtype,
-                       axis_name=self.axis_name, bn_eps=self.bn_eps)(x, train)
+                       axis_name=self.axis_name, bn_eps=self.bn_eps,
+                       s2d=self.s2d)(x, train)
         if self.strides == 1 and inp == self.features:
             x = StochasticDepth(self.drop_rate)(x, train) + residual
         return x
