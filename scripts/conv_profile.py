@@ -146,7 +146,20 @@ def main():
                 return jnp.mean(out.astype(jnp.float32) ** 2), \
                     mut["batch_stats"]
             if fwd_only:
-                l, s2 = loss_fn(p)
+                # Perturb the input per iteration: with no rng in the trunk
+                # the apply is otherwise loop-invariant and XLA hoists the
+                # entire forward out of the scan (measured 1.5 ms "trunk5
+                # fwd" = 456 TF/s, i.e. fiction).
+                eps = 1e-12 * jax.random.uniform(key, (), jnp.float32)
+
+                def loss_fn_v(p_):
+                    out, mut = tn.apply(
+                        {"params": p_, "batch_stats": s},
+                        img_b * (1.0 + eps).astype(dt_), train=True,
+                        mutable=["batch_stats"])
+                    return jnp.mean(out.astype(jnp.float32) ** 2), \
+                        mut["batch_stats"]
+                l, s2 = loss_fn_v(p)
                 return (p, s2), l
             (l, s2), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
             p = jax.tree_util.tree_map(lambda a, b: a - 1e-12 * b, p, g)
