@@ -197,6 +197,59 @@ def main():
             y = DenseBN(self.ch, act=False)(y, train)
             return y + r
 
+    class MBConvPallas(nn.Module):
+        """MBConv with the middle (BN+silu+dw3x3+BN+silu+SE) as Pallas
+        kernels (ops/pallas_mbconv.py); matmuls and project BN in XLA.
+        Params are profile-local (not tree-compatible with MBConv)."""
+        ch: int
+        hidden: int
+        cse: int
+
+        @nn.compact
+        def __call__(self, x, train=True):
+            from semiuhpe_tpu.ops import pallas_mbconv as pm
+            r = x
+            h_raw = nn.Conv(self.hidden, (1, 1), use_bias=False,
+                            dtype=dt_)(x)
+            dw_w = self.param("dw", nn.initializers.lecun_normal(),
+                              (3, 3, 1, self.hidden), jnp.float32)
+
+            def bn_vars(name):
+                scale = self.param(f"{name}_scale", nn.initializers.ones,
+                                   (self.hidden,), jnp.float32)
+                bias = self.param(f"{name}_bias", nn.initializers.zeros,
+                                  (self.hidden,), jnp.float32)
+                mean = self.variable("batch_stats", f"{name}_mean",
+                                     lambda: jnp.zeros(self.hidden,
+                                                       jnp.float32))
+                var = self.variable("batch_stats", f"{name}_var",
+                                    lambda: jnp.ones(self.hidden,
+                                                     jnp.float32))
+                return scale, bias, mean, var
+
+            s1, b1, m1, v1 = bn_vars("bn1")
+            s2, b2, m2, v2 = bn_vars("bn2")
+            w1 = self.param("se_w1", nn.initializers.lecun_normal(),
+                            (self.hidden, self.cse), jnp.float32)
+            c1 = self.param("se_c1", nn.initializers.zeros, (self.cse,),
+                            jnp.float32)
+            w2 = self.param("se_w2", nn.initializers.lecun_normal(),
+                            (self.cse, self.hidden), jnp.float32)
+            c2 = self.param("se_c2", nn.initializers.zeros, (self.hidden,),
+                            jnp.float32)
+            s, new1, new2 = pm.mbconv_middle(
+                h_raw, dw_w.astype(dt_),
+                dict(scale=s1, bias=b1, mean=m1.value, var=v1.value),
+                dict(scale=s2, bias=b2, mean=m2.value, var=v2.value),
+                (w1.astype(dt_), c1, w2.astype(dt_), c2),
+                train=train, eps=1e-3, momentum=0.9)
+            if train and not self.is_initializing():
+                m1.value, v1.value = new1
+                m2.value, v2.value = new2
+            y = ConvBN(self.ch, 1, 1, activation=None, dtype=dt_,
+                       bn_eps=1e-3)(s, train)
+            return y + r
+
     def mb(ch, hidden_ratio, se, drop):
         return lambda: MBConv(ch, hidden_ratio, 3, 1, se_ratio=se,
                               drop_rate=drop, dtype=dt_, bn_eps=1e-3)
@@ -213,8 +266,12 @@ def main():
         "s5_expproj":   (14, 160, Chain(lambda: ExpandProject(160, 960), 9)),
         "s5_dwonly":    (14, 960, Chain(lambda: DWOnly(960), 9)),
         "s5_seonly":    (14, 960, Chain(lambda: SEOnly(960), 9)),
+        "s5_pallas":    (14, 160, Chain(
+            lambda: MBConvPallas(160, 960, 40), 9)),
         # stage4 shapes: 14x14, 128ch, hidden 512, 6 layers
         "s4_full":      (14, 128, Chain(mb(128, 4, 0.25, 0.06), 6)),
+        "s4_pallas":    (14, 128, Chain(
+            lambda: MBConvPallas(128, 512, 32), 6)),
         # stage2 shapes: 56x56, 48ch, 4 layers (s1 versions)
         "s2_full":      (56, 48, Chain(fused(48, 4), 4)),
         # no-BN twins: delta vs the BN versions = train-mode BN cost

@@ -164,6 +164,95 @@ class SqueezeExcite(nn.Module):
         return x * nn.sigmoid(s)
 
 
+class _RawBN(nn.Module):
+    """Declares nn.BatchNorm's variables (params scale/bias, batch_stats
+    mean/var — same names, shapes, dtypes, inits) WITHOUT computing: the
+    Pallas fused-MBConv path consumes the raw coefficients.  Name this
+    module "BatchNorm_0" inside a ConvBN-shaped scope and the parameter
+    tree is byte-identical to the unfused path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((self.features,),
+                                               jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((self.features,),
+                                             jnp.float32))
+        return scale, bias, mean, var
+
+
+class _RawConvParams(nn.Module):
+    """Declares nn.Conv's parameters (kernel [+ bias], same names/inits)
+    without running the convolution."""
+
+    shape: Sequence[int]
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            tuple(self.shape), jnp.float32)
+        if not self.use_bias:
+            return kernel
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.shape[-1],), jnp.float32)
+        return kernel, bias
+
+
+class _ExpandRawBN(nn.Module):
+    """ConvBN-shaped scope where the 1x1 conv RUNS (XLA matmul) but the
+    BatchNorm is returned raw for the Pallas middle to apply."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(self.features, (1, 1), strides=(1, 1),
+                    padding=[(0, 0), (0, 0)], use_bias=False,
+                    dtype=self.dtype, name="Conv_0")(x)
+        bn = _RawBN(self.features, name="BatchNorm_0")()
+        return y, bn
+
+
+class _DWRawBN(nn.Module):
+    """ConvBN-shaped scope for the depthwise conv: kernel and BN both
+    declared raw (the Pallas middle executes them)."""
+
+    features: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self):
+        k = _RawConvParams((self.kernel_size, self.kernel_size, 1,
+                            self.features), name="Conv_0")()
+        bn = _RawBN(self.features, name="BatchNorm_0")()
+        return k, bn
+
+
+class _SERawParams(nn.Module):
+    """SqueezeExcite-shaped scope declaring both 1x1 convs raw."""
+
+    in_features: int
+    se_features: int
+
+    @nn.compact
+    def __call__(self):
+        k1, b1 = _RawConvParams((1, 1, self.in_features, self.se_features),
+                                use_bias=True, name="Conv_0")()
+        k2, b2 = _RawConvParams((1, 1, self.se_features, self.in_features),
+                                use_bias=True, name="Conv_1")()
+        return (k1.reshape(self.in_features, self.se_features), b1,
+                k2.reshape(self.se_features, self.in_features), b2)
+
+
 class StochasticDepth(nn.Module):
     """Row-wise drop-path (torchvision-style) for residual branches."""
 
@@ -183,7 +272,16 @@ class StochasticDepth(nn.Module):
 
 
 class MBConv(nn.Module):
-    """Inverted residual with depthwise conv (+SE), silu activation."""
+    """Inverted residual with depthwise conv (+SE), silu activation.
+
+    ``pallas`` selects the fused-middle execution path
+    (ops/pallas_mbconv.py): the BN+silu+dw3x3+BN+silu+SE chain between
+    the two 1x1 matmuls runs as two Pallas kernels (one HBM pass per
+    direction each) instead of XLA's many elementwise/reduce passes.
+    None (default) resolves via SEMIUHPE_PALLAS_MBCONV / backend
+    autodetection; parameters, batch stats and init are byte-identical
+    across both paths, so checkpoints/importers/EMA are unaffected.
+    Requires silu activation (the kernels hard-code it)."""
 
     features: int
     expand_ratio: float
@@ -195,22 +293,58 @@ class MBConv(nn.Module):
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
     bn_eps: float = 1e-5
+    pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        from semiuhpe_tpu.ops import pallas_mbconv as pm
+
         inp = x.shape[-1]
         hidden = int(round(inp * self.expand_ratio))
         residual = x
-        if self.expand_ratio != 1:
-            x = ConvBN(hidden, 1, 1, activation=self.activation, dtype=self.dtype,
+        use_pallas = (self.pallas if self.pallas is not None
+                      else pm.pallas_mbconv_enabled())
+        use_pallas = (
+            use_pallas and self.expand_ratio != 1
+            and self.activation is nn.silu
+            and pm.fused_middle_supported(
+                (x.shape[0], x.shape[1], x.shape[2], hidden),
+                self.strides, self.se_ratio > 0, self.kernel_size))
+        if use_pallas:
+            h_raw, bn1 = _ExpandRawBN(hidden, dtype=self.dtype,
+                                      name="ConvBN_0")(x)
+            dw_k, bn2 = _DWRawBN(hidden, self.kernel_size,
+                                 name="ConvBN_1")()
+            se_feats = max(1, int(inp * self.se_ratio))
+            w1, c1, w2, c2 = _SERawParams(hidden, se_feats,
+                                          name="SqueezeExcite_0")()
+            s1, b1, m1, v1 = bn1
+            s2, b2, m2, v2 = bn2
+            x, new1, new2 = pm.mbconv_middle(
+                h_raw, dw_k.astype(self.dtype),
+                dict(scale=s1, bias=b1, mean=m1.value, var=v1.value),
+                dict(scale=s2, bias=b2, mean=m2.value, var=v2.value),
+                (w1.astype(self.dtype), c1, w2.astype(self.dtype), c2),
+                train=train, eps=self.bn_eps, momentum=0.9)
+            if train and not self.is_initializing():
+                m1.value, v1.value = new1
+                m2.value, v2.value = new2
+            x = ConvBN(self.features, 1, 1, activation=None,
+                       dtype=self.dtype, axis_name=self.axis_name,
+                       bn_eps=self.bn_eps, name="ConvBN_2")(x, train)
+        else:
+            if self.expand_ratio != 1:
+                x = ConvBN(hidden, 1, 1, activation=self.activation,
+                           dtype=self.dtype, axis_name=self.axis_name,
+                           bn_eps=self.bn_eps)(x, train)
+            x = ConvBN(hidden, self.kernel_size, self.strides, groups=hidden,
+                       activation=self.activation, dtype=self.dtype,
                        axis_name=self.axis_name, bn_eps=self.bn_eps)(x, train)
-        x = ConvBN(hidden, self.kernel_size, self.strides, groups=hidden,
-                   activation=self.activation, dtype=self.dtype,
-                   axis_name=self.axis_name, bn_eps=self.bn_eps)(x, train)
-        if self.se_ratio > 0:
-            x = SqueezeExcite(max(1, int(inp * self.se_ratio)), dtype=self.dtype)(x)
-        x = ConvBN(self.features, 1, 1, activation=None, dtype=self.dtype,
-                   axis_name=self.axis_name, bn_eps=self.bn_eps)(x, train)
+            if self.se_ratio > 0:
+                x = SqueezeExcite(max(1, int(inp * self.se_ratio)),
+                                  dtype=self.dtype)(x)
+            x = ConvBN(self.features, 1, 1, activation=None, dtype=self.dtype,
+                       axis_name=self.axis_name, bn_eps=self.bn_eps)(x, train)
         if self.strides == 1 and inp == self.features:
             x = StochasticDepth(self.drop_rate)(x, train) + residual
         return x
