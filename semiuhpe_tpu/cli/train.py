@@ -111,18 +111,41 @@ def pad_to(batch, size):
     return out, n
 
 
-def evaluate(eval_step, state, test_loader, mesh, conf_thres, batch_size):
+def evaluate(eval_step, state, test_loader, mesh, conf_thres, batch_size,
+             pool=None):
     """Returns (loss, err_mean, mask_ratio, err_pseudo_gt): the last is the
     mean error over confidently-predicted samples only (reference val_func
     err_pseudo_gt, agent.py:238-247).
 
     Short final batches are padded on device for a single compiled shape,
     but every aggregate weights only the ``n_valid`` real rows — padding
-    must never bias the metrics (it decides the best checkpoint)."""
+    must never bias the metrics (it decides the best checkpoint).
+
+    With ``pool`` (a data.device_pool.DevicePool), ``eval_step`` is the
+    pooled variant and batches are in-program index gathers (padding =
+    repeating the last index)."""
+
+    def _outputs():
+        if pool is None:
+            for batch in test_loader:
+                batch, n_valid = pad_to(batch, batch_size)
+                yield eval_step(state, shard_batch(mesh, batch),
+                                jnp.float32(conf_thres)), n_valid
+            return
+        from semiuhpe_tpu.parallel.mesh import batch_sharding
+        idx_sh = batch_sharding(mesh)
+        for start in range(0, pool.n, batch_size):
+            idx = np.arange(start, min(start + batch_size, pool.n))
+            n_valid = len(idx)
+            if n_valid < batch_size:
+                idx = np.concatenate(
+                    [idx, np.full(batch_size - n_valid, idx[-1])])
+            yield eval_step(state, pool.arrays,
+                            jax.device_put(idx.astype(np.int32), idx_sh),
+                            jnp.float32(conf_thres)), n_valid
+
     losses, errs, masks_n, masked_errs, n_total = [], [], 0.0, [], 0
-    for batch in test_loader:
-        batch, n_valid = pad_to(batch, batch_size)
-        out = eval_step(state, shard_batch(mesh, batch), jnp.float32(conf_thres))
+    for out, n_valid in _outputs():
         per_loss = np.asarray(out.get("losses", out["loss"]))
         if per_loss.ndim == 0:  # scalar fallback: weight by n_valid
             losses.append(float(per_loss) * n_valid)
@@ -220,9 +243,35 @@ def main(argv=None):
         ulb_loader = train_loader_cls(ulb_set, ulb_batch, shuffle=True,
                                       drop_last=True,
                                       num_workers=config.num_workers)
-        # Device-side prefetch: unlabeled batches land sharded on the mesh
-        # two steps ahead of consumption (overlaps H2D with compute).
-        ulb_iter = prefetch_to_device(cycle(ulb_loader), mesh, depth=2)
+        if not config.device_data:
+            # Device-side prefetch: unlabeled batches land sharded on the
+            # mesh two steps ahead of consumption (overlaps H2D+compute).
+            ulb_iter = prefetch_to_device(cycle(ulb_loader), mesh, depth=2)
+
+    # Device-resident data (data/device_pool.py): stage every pool in HBM
+    # once; per-step batches become in-program index gathers.  Measured on
+    # the axon relay: 28 ms/step vs 712 ms/step of per-batch H2D at recipe
+    # shapes — and no per-transfer host staging leak.
+    dd = bool(config.device_data)
+    if dd:
+        assert config.device_views and config.packed_cache, \
+            "--device_data requires --device_views and --packed_cache"
+        from semiuhpe_tpu.data.device_pool import (DevicePool, epoch_indices,
+                                                   infinite_indices,
+                                                   jit_pool_step)
+        from semiuhpe_tpu.parallel.mesh import batch_sharding
+        idx_sh = batch_sharding(mesh)
+        logger.line("staging datasets in device HBM (one-time)...")
+        lb_pool = DevicePool(train_set, mesh)
+        test_pool = DevicePool(test_set, mesh)
+        ulb_pool = DevicePool(ulb_set, mesh) if do_ssl else None
+        ulb_idx_iter = (iter(infinite_indices(len(ulb_set), ulb_batch,
+                                              config.seed + 7))
+                        if do_ssl else None)
+        logger.line(
+            f"staged on device: labeled {len(train_set)}, "
+            f"test {len(test_set)}"
+            + (f", unlabeled {len(ulb_set)}" if do_ssl else ""))
 
     # ----- model/state -----
     net = build_network(config.network, num_outputs=config.num_classes, dtype=dtype)
@@ -244,12 +293,13 @@ def main(argv=None):
     state = replicate(mesh, state)
 
     # ----- steps -----
-    sup_step = jit_step(
-        steps_mod.make_supervised_step(
-            net, config.lr, config.distribution, grids9,
-            grad_clip=config.grad_clip, device_views=config.device_views,
-            labeled_weak_aug=(config.train_labeled != "DAD3DHeads")),
-        mesh, n_batch_args=1, n_scalar_args=1)
+    sup_fn = steps_mod.make_supervised_step(
+        net, config.lr, config.distribution, grids9,
+        grad_clip=config.grad_clip, device_views=config.device_views,
+        labeled_weak_aug=(config.train_labeled != "DAD3DHeads"))
+    sup_step = (jit_pool_step(sup_fn, mesh, n_batches=1, n_scalar_args=1)
+                if dd else
+                jit_step(sup_fn, mesh, n_batch_args=1, n_scalar_args=1))
     ssl_kwargs = dict(
         distribution=config.distribution, type_unsuper=config.type_unsuper,
         labeled_set=config.train_labeled, rotate_aug=config.rotate_aug,
@@ -259,19 +309,46 @@ def main(argv=None):
         grad_clip=config.grad_clip, device_views=config.device_views)
     # Fast step for most iterations; diagnostic step (extra SVD metrics,
     # ~9% slower) only on logging iterations.
-    ssl_step_fast = jit_step(
-        steps_mod.make_ssl_step(net, config.lr, with_diagnostics=False,
-                                **ssl_kwargs),
-        mesh, n_batch_args=2, n_scalar_args=3)
-    ssl_step_diag = jit_step(
-        steps_mod.make_ssl_step(net, config.lr, with_diagnostics=True,
-                                **ssl_kwargs),
-        mesh, n_batch_args=2, n_scalar_args=3)
-    eval_student = jax.jit(steps_mod.make_eval_step(net, config.distribution, grids9,
-                                                    use_ema=False))
-    eval_teacher = jax.jit(steps_mod.make_eval_step(net, config.distribution, grids9,
-                                                    use_ema=True))
+    def _mk_ssl(diag):
+        fn = steps_mod.make_ssl_step(net, config.lr, with_diagnostics=diag,
+                                     **ssl_kwargs)
+        if dd:
+            return jit_pool_step(fn, mesh, n_batches=2, n_scalar_args=3)
+        return jit_step(fn, mesh, n_batch_args=2, n_scalar_args=3)
+
+    ssl_step_fast = _mk_ssl(False)
+    ssl_step_diag = _mk_ssl(True)
+
+    def _mk_eval(use_ema):
+        fn = steps_mod.make_eval_step(net, config.distribution, grids9,
+                                      use_ema=use_ema)
+        if not dd:
+            return jax.jit(fn)
+        from semiuhpe_tpu.data.device_pool import gather
+        from semiuhpe_tpu.parallel.mesh import replicated
+
+        def pooled(state, pools, idx, conf_thres):
+            return fn(state, gather(pools, idx), conf_thres)
+
+        repl = replicated(mesh)
+        return jax.jit(pooled, in_shardings=(repl, repl, idx_sh, repl))
+
+    eval_student = _mk_eval(False)
+    eval_teacher = _mk_eval(True)
     entropy_fn = jax.jit(steps_mod.make_entropy_fn(net, use_ema=True))
+    if dd:
+        from semiuhpe_tpu.ops.views import normalize_u8
+        from semiuhpe_tpu.parallel.mesh import replicated
+
+        _ent_inner = steps_mod.make_entropy_fn(net, use_ema=True)
+
+        def _entropy_pooled(state, pools, idx):
+            img = normalize_u8(jnp.take(pools["img_raw"], idx, axis=0))
+            return _ent_inner(state, img)
+
+        entropy_pool = jax.jit(
+            _entropy_pooled,
+            in_shardings=(replicated(mesh), replicated(mesh), idx_sh))
     feature_fn = (jax.jit(steps_mod.make_feature_entropy_fn(net, use_ema=True))
                   if config.save_feat else None)
 
@@ -301,7 +378,9 @@ def main(argv=None):
     it = int(jax.device_get(state.step))
 
     while it < config.max_iteration:
-        for data in train_loader:
+        data_iter = (epoch_indices(len(train_set), batch, config.seed, epoch)
+                     if dd else train_loader)
+        for data in data_iter:
             if it >= config.max_iteration:
                 break
 
@@ -330,27 +409,42 @@ def main(argv=None):
 
             s1 = it < config.stage1_iteration
             rng = jax.random.key(config.seed * 1_000_003 + it)
-            if it < 2 and "img" in data:
+            if it < 2 and not dd and "img" in data:
                 save_visual_fixtures(config.log_dir, data["img"],
                                      f"{config.train_labeled}_weak_")
             step_timer.start()
             if s1:
-                sdata = shard_batch(mesh, data)
-                state, metrics = sup_step(state, sdata, rng)
+                if dd:
+                    state, metrics = sup_step(
+                        state, lb_pool.arrays, jax.device_put(data, idx_sh),
+                        rng)
+                else:
+                    sdata = shard_batch(mesh, data)
+                    state, metrics = sup_step(state, sdata, rng)
                 n_imgs = batch
             else:
-                ulb_data = next(ulb_iter)  # already sharded on the mesh
-                if it < config.stage1_iteration + 2 and "img_strong" in ulb_data:
-                    save_visual_fixtures(
-                        config.log_dir,
-                        jax.device_get(ulb_data["img_strong"]),
-                        f"{config.train_unlabeled}_strong_")
                 ssl_step = (ssl_step_diag
                             if (it + 1) % config.log_frequency == 0
                             else ssl_step_fast)
-                state, metrics = ssl_step(
-                    state, shard_batch(mesh, data), ulb_data,
-                    rng, jnp.float32(conf_thres), jnp.float32(config.SSL_lambda))
+                if dd:
+                    state, metrics = ssl_step(
+                        state, lb_pool.arrays, jax.device_put(data, idx_sh),
+                        ulb_pool.arrays,
+                        jax.device_put(next(ulb_idx_iter), idx_sh),
+                        rng, jnp.float32(conf_thres),
+                        jnp.float32(config.SSL_lambda))
+                else:
+                    ulb_data = next(ulb_iter)  # already sharded on the mesh
+                    if (it < config.stage1_iteration + 2
+                            and "img_strong" in ulb_data):
+                        save_visual_fixtures(
+                            config.log_dir,
+                            jax.device_get(ulb_data["img_strong"]),
+                            f"{config.train_unlabeled}_strong_")
+                    state, metrics = ssl_step(
+                        state, shard_batch(mesh, data), ulb_data,
+                        rng, jnp.float32(conf_thres),
+                        jnp.float32(config.SSL_lambda))
                 n_imgs = batch + ulb_batch
             jax.block_until_ready(metrics) if config.profile_dir else None
             step_timer.stop()
@@ -367,7 +461,7 @@ def main(argv=None):
             if it % config.val_frequency == 0:
                 loss, err, mratio, err_pseudo = evaluate(
                     eval_student, state, test_loader, mesh, conf_thres,
-                    config.eval_batch_size)
+                    config.eval_batch_size, pool=test_pool if dd else None)
                 logger.log("test", it, {"loss": loss, "err_mean": err,
                                         "mask_ratio": mratio,
                                         "err_pseudo_gt": err_pseudo})
@@ -396,7 +490,8 @@ def main(argv=None):
                 if not s1:
                     loss_e, err_e, mratio_e, err_pseudo_e = evaluate(
                         eval_teacher, state, test_loader, mesh, conf_thres,
-                        config.eval_batch_size)
+                        config.eval_batch_size,
+                        pool=test_pool if dd else None)
                     logger.log("test_ema", it,
                                {"loss": loss_e, "err_mean": err_e,
                                 "mask_ratio": mratio_e,
@@ -407,11 +502,31 @@ def main(argv=None):
             if (it % config.save_frequency == 0 and do_ssl
                     and it >= first_sweep_at):
                 if config.dynamic_thres:
-                    conf_thres = steps_mod.dynamic_entropy_threshold(
-                        lambda st, img: entropy_fn(st, jax.device_put(img)),
-                        state,
-                        ({"img": ulb_entropy_images(b)} for b in ulb_loader),
-                        config.left_ratio)
+                    if dd:
+                        # Same quantile semantics as dynamic_entropy_threshold
+                        # but scored by in-program pool gathers (no H2D).
+                        chunk = config.eval_batch_size
+                        ents = []
+                        for start in range(0, len(ulb_set), chunk):
+                            idx = np.arange(start,
+                                            min(start + chunk, len(ulb_set)))
+                            nv = len(idx)
+                            if nv < chunk:
+                                idx = np.concatenate(
+                                    [idx, np.full(chunk - nv, idx[-1])])
+                            e = entropy_pool(
+                                state, ulb_pool.arrays,
+                                jax.device_put(idx.astype(np.int32), idx_sh))
+                            ents.append(np.asarray(e)[:nv])
+                        e = np.sort(np.concatenate(ents))
+                        index = int(len(e) * config.left_ratio)
+                        conf_thres = float(e[min(index, len(e) - 1)])
+                    else:
+                        conf_thres = steps_mod.dynamic_entropy_threshold(
+                            lambda st, img: entropy_fn(st, jax.device_put(img)),
+                            state,
+                            ({"img": ulb_entropy_images(b)} for b in ulb_loader),
+                            config.left_ratio)
                     logger.log("settings", it, {"conf_thres": conf_thres})
                 if feature_fn is not None:
                     # save_feat: dump {idx: [penultimate_feat, entropy]} for

@@ -138,6 +138,13 @@ def build_parser(phase: str) -> argparse.ArgumentParser:
                    help="directory for decode-once packed uint8 crop caches "
                         "(data/packed.py); built on first use per "
                         "dataset/phase/size; requires --device_views")
+    p.add_argument("--device_data", type=str2bool, default=False,
+                   help="stage the packed train/unlabeled pools (and the "
+                        "test set) in device HBM once; per-step batches "
+                        "are in-program index gathers with zero per-step "
+                        "H2D (data/device_pool.py). Requires "
+                        "--device_views + --packed_cache. The big win on "
+                        "remote/relay-attached TPUs where H2D is slow.")
 
     # test
     p.add_argument("--eval_batch_size", type=int, default=64)
