@@ -15,13 +15,28 @@ attention math runs at the given `dtype` (bfloat16-safe) with fp32 softmax.
 from __future__ import annotations
 
 import itertools
+import os
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from semiuhpe_tpu.models.layers import ConvBN, RegressionHead, StochasticDepth
+
+
+def _pallas_attn_mode() -> str:
+    """'off' | 'on' | 'interpret' — fused Pallas window attention toggle.
+
+    Default: on for TPU backends (the fused kernel keeps the fp32 logits
+    in VMEM; see ops/pallas_window_attention.py), off elsewhere (the XLA
+    einsum path is fine on CPU and keeps tests fast).
+    """
+    v = os.environ.get("SEMIUHPE_PALLAS_ATTN")
+    if v is not None:
+        return {"0": "off", "1": "on"}.get(v, v)
+    return "on" if jax.default_backend() == "tpu" else "off"
 
 
 def _attention_bias_idxs(resolution: Tuple[int, int]) -> Tuple[np.ndarray, int]:
@@ -56,12 +71,24 @@ class WindowAttention(nn.Module):
         qkv = nn.Dense(self.num_heads * d * 3, dtype=self.dtype)(x)
         qkv = qkv.reshape(b, n, self.num_heads, 3 * d)
         q, k, v = jnp.split(qkv, 3, axis=-1)  # (B, N, H, d)
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
-                          preferred_element_type=jnp.float32) * (d ** -0.5)
-        attn = attn + biases[:, idxs][None]  # (1, H, N, N)
-        attn = jnp.asarray(nn.softmax(attn.astype(jnp.float32), axis=-1), self.dtype)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v,
-                         preferred_element_type=jnp.float32).astype(self.dtype)
+        mode = _pallas_attn_mode()
+        if mode in ("on", "interpret"):
+            from semiuhpe_tpu.ops.pallas_window_attention import \
+                window_attention
+            bias_dense = biases[:, idxs].astype(jnp.float32)  # (H, N, N)
+            out = window_attention(
+                q.transpose(2, 0, 1, 3), k.transpose(2, 0, 1, 3),
+                v.transpose(2, 0, 1, 3), bias_dense, d ** -0.5,
+                mode == "interpret")  # (H, B, N, d)
+            out = out.transpose(1, 2, 0, 3)
+        else:
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                              preferred_element_type=jnp.float32) * (d ** -0.5)
+            attn = attn + biases[:, idxs][None]  # (1, H, N, N)
+            attn = jnp.asarray(
+                nn.softmax(attn.astype(jnp.float32), axis=-1), self.dtype)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v,
+                             preferred_element_type=jnp.float32).astype(self.dtype)
         out = out.reshape(b, n, self.num_heads * d)
         return nn.Dense(self.dim, dtype=self.dtype)(out)
 

@@ -1,0 +1,207 @@
+"""Fused window attention (Pallas TPU): QK^T + relative-position bias +
+softmax + AV in VMEM, logits never materialized in HBM.
+
+Motivation (BENCH_NOTES per-backbone ladder): TinyViT-21m's SSL step is
+3.5x slower than EffNetV2-S at comparable FLOPs.  The XLA lowering of
+``WindowAttention`` (models/tinyvit.py) materializes the fp32 logits
+tensor (B, H, N, N) in HBM several times per block (einsum out, softmax
+read/write, AV read, plus backward twins) — for stage 3 (B=160, H=12,
+N=196) that is ~295 MB per pass, ~6 passes x 6 blocks, i.e. tens of ms
+of pure HBM traffic for a few GFLOPs of matmul.  This kernel keeps the
+(N, N) logits of a chunk of windows entirely in VMEM.
+
+Semantics match models/tinyvit.py exactly (reference parity chain:
+/root/reference/src/tiny_vit.py:216-288 Attention):
+
+    s   = (q @ k^T) * d**-0.5 + bias        [fp32 accumulate]
+    p   = softmax_f32(s)  -> cast to compute dtype
+    out = p @ v                              [fp32 accumulate -> dtype]
+
+Layout contract: q, k, v are (H, B, N, D) — head-major so the per-head
+bias (H, N, N) can be block-indexed by the head grid coordinate; B is
+the window-batch (images x windows), N the tokens per window, D the head
+dim.  The caller passes the *dense gathered* bias (H, N, N) fp32; its
+gather from the (H, n_offsets) parameter happens in traced XLA code
+outside the kernel, so autodiff routes the dense d_bias produced here
+back to the parameter via the standard gather VJP (scatter-add).
+
+Backward is one kernel (flash-style in-VMEM recompute of s and p from
+the saved inputs) emitting dq, dk, dv and the dense d_bias; d_bias is
+accumulated across the window-chunk grid dimension by revisiting the
+same output block (the window axis is the innermost grid dim, so Mosaic
+keeps the accumulator resident in VMEM between steps).
+
+Used by models/tinyvit.py when SEMIUHPE_PALLAS_ATTN=1 (TPU backends).
+Equivalence vs the einsum path is property-tested in
+tests/test_pallas_window_attention.py (interpret mode, values + all
+gradients).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pick_chunk(b: int, n: int, d: int, n_io: int, n_tmp: int,
+                bytes_budget: int = 13 * 2 ** 20) -> int:
+    """Largest window-chunk G dividing b whose working set fits VMEM.
+
+    Mosaic pads the two minor dims of every buffer to the dtype tile
+    (bf16: (16,128), fp32: (8,128)) and double-buffers the pipelined IO
+    blocks, so the cost model must count padded slabs — with D=32 the
+    lane dim pads 4x.  `n_io` counts (N, D)-shaped dtype blocks crossing
+    the grid (double-buffered); `n_tmp` counts fp32 (N, N) logits-sized
+    in-kernel temporaries (calibrated: fwd ~2, bwd ~4).  The 13 MiB
+    budget leaves headroom under the 16 MiB scoped-vmem limit.
+    """
+    io = _round_up(n, 16) * _round_up(d, 128) * 2
+    tmp = _round_up(n, 8) * _round_up(n, 128) * 4
+    per_g = 2 * n_io * io + n_tmp * tmp
+    best = 1
+    for g in range(1, b + 1):
+        if b % g:
+            continue
+        if g * per_g <= bytes_budget:
+            best = g
+        else:
+            break
+    return best
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
+    q = q_ref[0]  # (G, N, D)
+    k = k_ref[0]
+    v = v_ref[0]
+    bias = bias_ref[0]  # (N, N) fp32
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (G, N, N)
+    s = s * scale + bias[None]
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    p = p.astype(q.dtype)
+    o = jax.lax.dot_general(
+        p, v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, dbias_ref, *, scale):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    bias = bias_ref[0]
+    do = do_ref[0]  # (G, N, D)
+
+    # Recompute p in VMEM (flash-style; saving p would cost an HBM pass).
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    s = s * scale + bias[None]
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s)
+    p32 = e / jnp.sum(e, axis=-1, keepdims=True)
+    p = p32.astype(q.dtype)
+
+    # dV[g,m,d] = sum_n p[g,n,m] * dO[g,n,d]
+    dv = jax.lax.dot_general(
+        p, do, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    # dP = dO @ V^T : (G,N,D)x(G,M,D) -> (G,N,M)
+    dp = jax.lax.dot_general(
+        do, v, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    # Softmax VJP through the fp32 softmax: the cast p32->dtype is a
+    # straight-through value change; its grad contribution matches the
+    # XLA path (convert_element_type has identity-like VJP).
+    ds = p32 * (dp - jnp.sum(dp * p32, axis=-1, keepdims=True))  # (G,N,N)
+
+    # dBias accumulates over the window-chunk grid dim (innermost).
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
+    dbias_ref[0] += jnp.sum(ds, axis=0)
+
+    ds_scaled = (ds * scale).astype(q.dtype)
+    # dQ = dS @ K : (G,N,M)x(G,M,D) -> (G,N,D)
+    dq = jax.lax.dot_general(
+        ds_scaled, k, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    # dK = dS^T @ Q : contract over n
+    dk = jax.lax.dot_general(
+        ds_scaled, q, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _specs(h, b, g, n, d):
+    qkv = pl.BlockSpec((1, g, n, d), lambda i, j: (i, j, 0, 0),
+                       memory_space=pltpu.VMEM)
+    bias = pl.BlockSpec((1, n, n), lambda i, j: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return qkv, bias
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def window_attention(q, k, v, bias, scale, interpret=False):
+    """Fused window attention.
+
+    q, k, v: (H, B, N, D) in the compute dtype; bias: (H, N, N) fp32.
+    Returns (H, B, N, D) in the compute dtype.
+    """
+    return _fwd(q, k, v, bias, scale, interpret)
+
+
+def _fwd(q, k, v, bias, scale, interpret):
+    h, b, n, d = q.shape
+    g = _pick_chunk(b, n, d, n_io=4, n_tmp=2)
+    qkv_spec, bias_spec = _specs(h, b, g, n, d)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale),
+        grid=(h, b // g),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct((h, b, n, d), q.dtype),
+        interpret=interpret,
+    )(q, k, v, bias)
+
+
+def _fwd_rule(q, k, v, bias, scale, interpret):
+    return _fwd(q, k, v, bias, scale, interpret), (q, k, v, bias)
+
+
+def _bwd_rule(scale, interpret, res, do):
+    q, k, v, bias = res
+    h, b, n, d = q.shape
+    g = _pick_chunk(b, n, d, n_io=7, n_tmp=4)
+    qkv_spec, bias_spec = _specs(h, b, g, n, d)
+    dq, dk, dv, dbias = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale),
+        grid=(h, b // g),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, qkv_spec],
+        out_specs=(qkv_spec, qkv_spec, qkv_spec, bias_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((h, b, n, d), q.dtype),
+            jax.ShapeDtypeStruct((h, b, n, d), k.dtype),
+            jax.ShapeDtypeStruct((h, b, n, d), v.dtype),
+            jax.ShapeDtypeStruct((h, n, n), jnp.float32),
+        ),
+        interpret=interpret,
+    )(q, k, v, bias, do)
+    return dq, dk, dv, dbias
+
+
+window_attention.defvjp(_fwd_rule, _bwd_rule)

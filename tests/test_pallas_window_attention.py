@@ -1,0 +1,124 @@
+"""Equivalence tests: Pallas fused window attention vs the XLA einsum path.
+
+Runs the kernel in interpret mode (CPU-hermetic, like test_pallas_mbconv).
+Checks forward values and all four gradients (q, k, v, dense bias),
+including a shape where the window batch is split into multiple chunks so
+the d_bias grid-accumulation path is exercised.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from semiuhpe_tpu.ops.pallas_window_attention import (_pick_chunk,
+                                                      window_attention)
+
+
+def einsum_reference(q, k, v, bias, scale):
+    """The models/tinyvit.py WindowAttention math on (H, B, N, D) inputs."""
+    s = jnp.einsum("hbnd,hbmd->hbnm", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    s = s + bias[:, None]
+    p = jnp.asarray(jax.nn.softmax(s.astype(jnp.float32), axis=-1), q.dtype)
+    out = jnp.einsum("hbnm,hbmd->hbnd", p, v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def _make(h, b, n, d, dtype, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.normal(size=(h, b, n, d)), dtype)
+    k = jnp.asarray(rng.normal(size=(h, b, n, d)), dtype)
+    v = jnp.asarray(rng.normal(size=(h, b, n, d)), dtype)
+    bias = jnp.asarray(rng.normal(size=(h, n, n)) * 0.1, jnp.float32)
+    return q, k, v, bias
+
+
+class TestPallasWindowAttention:
+    @pytest.mark.parametrize("h,b,n,d", [
+        (2, 8, 49, 32),     # stage-2/4-like window shape, single chunk
+        (2, 32, 196, 32),   # stage-3-like; _pick_chunk splits -> accumulation
+    ])
+    def test_forward_matches_einsum(self, h, b, n, d):
+        q, k, v, bias = _make(h, b, n, d, jnp.float32)
+        scale = d ** -0.5
+        ref = einsum_reference(q, k, v, bias, scale)
+        got = window_attention(q, k, v, bias, scale, True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_multichunk_shape_actually_chunks(self):
+        # bwd-shaped picks must chunk so the d_bias grid accumulation is real
+        assert _pick_chunk(32, 196, 32, n_io=7, n_tmp=4) < 32
+
+    @pytest.mark.parametrize("b,n,d", [
+        (160, 196, 32),    # TinyViT-21m stage 3 @224 (student batch 160)
+        (2560, 49, 32),    # stage 2 (160 imgs x 16 windows)
+        (640, 49, 32),     # stage 4
+        (2048, 49, 32),    # teacher b128 stage 2
+    ])
+    def test_pick_chunk_respects_scoped_vmem(self, b, n, d):
+        """Padded working set must stay under the 16 MiB scoped-vmem limit.
+
+        Regression: the pre-padding cost model picked G=160 at stage-2
+        shapes -> 17.5 MiB scoped allocation -> Mosaic compile OOM.
+        """
+        def padded_cost(g, n_io, n_tmp):
+            rup = lambda x, m: -(-x // m) * m
+            io = rup(n, 16) * rup(d, 128) * 2
+            tmp = rup(n, 8) * rup(n, 128) * 4
+            return g * (2 * n_io * io + n_tmp * tmp)
+
+        for n_io, n_tmp in [(4, 2), (7, 4)]:
+            g = _pick_chunk(b, n, d, n_io=n_io, n_tmp=n_tmp)
+            assert b % g == 0
+            assert padded_cost(g, n_io, n_tmp) <= 14 * 2 ** 20
+
+    @pytest.mark.parametrize("h,b,n,d", [
+        (2, 8, 49, 32),
+        (2, 32, 196, 32),
+    ])
+    def test_gradients_match_einsum(self, h, b, n, d):
+        q, k, v, bias = _make(h, b, n, d, jnp.float32)
+        scale = d ** -0.5
+        w = jnp.asarray(
+            np.random.default_rng(1).normal(size=(h, b, n, d)), jnp.float32)
+
+        def loss_ref(q, k, v, bias):
+            return jnp.sum(einsum_reference(q, k, v, bias, scale) * w)
+
+        def loss_ker(q, k, v, bias):
+            return jnp.sum(window_attention(q, k, v, bias, scale, True) * w)
+
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        g_ker = jax.grad(loss_ker, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        for a, b_ in zip(g_ker, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=3e-4, atol=3e-4)
+
+    def test_bfloat16_forward_close(self):
+        q, k, v, bias = _make(2, 8, 49, 32, jnp.bfloat16)
+        scale = 32 ** -0.5
+        ref = einsum_reference(q, k, v, bias, scale).astype(jnp.float32)
+        got = window_attention(q, k, v, bias, scale, True).astype(jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-2, atol=2e-2)
+
+
+class TestTinyViTPallasToggle:
+    def test_tinyvit_block_toggle_equivalence(self, monkeypatch):
+        """WindowAttention module output identical under both paths."""
+        from semiuhpe_tpu.models import tinyvit
+
+        x = jnp.asarray(
+            np.random.default_rng(3).normal(size=(4, 49, 64)), jnp.float32)
+        mod = tinyvit.WindowAttention(64, 32, 2, (7, 7), dtype=jnp.float32)
+        params = mod.init(jax.random.key(0), x)
+
+        monkeypatch.setenv("SEMIUHPE_PALLAS_ATTN", "0")
+        y_einsum = mod.apply(params, x)
+        monkeypatch.setenv("SEMIUHPE_PALLAS_ATTN", "interpret")
+        y_pallas = mod.apply(params, x)
+        np.testing.assert_allclose(np.asarray(y_pallas), np.asarray(y_einsum),
+                                   rtol=2e-5, atol=2e-5)
