@@ -96,13 +96,20 @@ def jit_pool_step(step_fn, mesh, n_batches: int = 1, n_scalar_args: int = 0,
     data-sharded with no collectives), state optionally donated.  Pools
     are runtime arguments, never jit constants — a closed-over pool
     would be baked into the executable."""
-    from semiuhpe_tpu.parallel.mesh import batch_sharding, replicated
+    from semiuhpe_tpu.parallel.mesh import (batch_sharding, replicated,
+                                            trace_mesh)
 
     repl = replicated(mesh)
     idx_s = batch_sharding(mesh, axis)
     in_shardings = ((repl,) + (repl, idx_s) * n_batches
                     + (repl,) * n_scalar_args)
-    return jax.jit(with_pools(step_fn, n_batches),
+    pooled = with_pools(step_fn, n_batches)
+
+    def traced(*args):
+        with trace_mesh(mesh, axis):
+            return pooled(*args)
+
+    return jax.jit(traced,
                    in_shardings=in_shardings,
                    donate_argnums=(0,) if donate_state else ())
 

@@ -73,13 +73,22 @@ class WindowAttention(nn.Module):
         q, k, v = jnp.split(qkv, 3, axis=-1)  # (B, N, H, d)
         mode = _pallas_attn_mode()
         if mode in ("on", "interpret"):
-            from semiuhpe_tpu.ops.pallas_window_attention import \
-                window_attention
+            from semiuhpe_tpu.ops.pallas_window_attention import (
+                window_attention, window_attention_sharded)
+            from semiuhpe_tpu.parallel.mesh import current_trace_mesh
             bias_dense = biases[:, idxs].astype(jnp.float32)  # (H, N, N)
-            out = window_attention(
-                q.transpose(2, 0, 1, 3), k.transpose(2, 0, 1, 3),
-                v.transpose(2, 0, 1, 3), bias_dense, d ** -0.5,
-                mode == "interpret")  # (H, B, N, d)
+            qh, kh, vh = (t.transpose(2, 0, 1, 3) for t in (q, k, v))
+            ctx = current_trace_mesh()
+            if ctx is not None and ctx[0].size > 1:
+                # Inside a multi-device jit_step: shard_map the kernel
+                # over the window batch (the partitioner treats the bare
+                # pallas_call as opaque and would gather otherwise).
+                out = window_attention_sharded(
+                    qh, kh, vh, bias_dense, d ** -0.5, ctx[0], ctx[1],
+                    mode == "interpret")
+            else:
+                out = window_attention(qh, kh, vh, bias_dense, d ** -0.5,
+                                       mode == "interpret")  # (H, B, N, d)
             out = out.transpose(1, 2, 0, 3)
         else:
             attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,

@@ -205,3 +205,33 @@ def _bwd_rule(scale, interpret, res, do):
 
 
 window_attention.defvjp(_fwd_rule, _bwd_rule)
+
+
+def window_attention_sharded(q, k, v, bias, scale, mesh, axis="data",
+                             interpret=False):
+    """shard_map-wrapped kernel for multi-device meshes.
+
+    ``pallas_call`` is an opaque custom call to the SPMD partitioner, so
+    inside a >1-device global-view pjit program the plain kernel would
+    force gathers/replication.  The window batch (axis 1 of q/k/v) is
+    embarrassingly parallel, so mapping it over the data axis is exact;
+    the bias is replicated and its cotangent is psum-reduced across the
+    mesh by shard_map's transpose (matching the einsum path's global
+    gradient).  Requires the global window batch to divide the mesh size
+    (the trainer's batch divisibility guarantee covers this: windows per
+    image are constant).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    qkv = P(None, axis, None, None)
+    f = jax.shard_map(
+        lambda q_, k_, v_, b_: window_attention(q_, k_, v_, b_, scale,
+                                                interpret),
+        mesh=mesh, in_specs=(qkv, qkv, qkv, P(None, None, None)),
+        out_specs=qkv,
+        # pallas_call's out_shape carries no vma annotation, which the
+        # jax-0.9 rep checker requires inside shard_map; transposition
+        # (incl. the replicated-bias cotangent psum) is driven by the
+        # specs and is covered by the gradient-equality test.
+        check_vma=False)
+    return f(q, k, v, bias)

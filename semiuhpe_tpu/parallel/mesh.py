@@ -15,11 +15,35 @@ semantics exactly — unlike per-replica BN in pmap-style code.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# Trace-time mesh context: global-view step programs carry no axis_name,
+# so modules that need mesh-aware lowering decisions (e.g. shard_map
+# around a Pallas kernel, which the SPMD partitioner would otherwise
+# treat as an opaque custom call and gather/replicate) can consult the
+# mesh the surrounding step is being traced for.  jit traces
+# synchronously on first call, so a plain context manager around the
+# traced body is sufficient.
+_TRACE_MESH: list = []
+
+
+@contextlib.contextmanager
+def trace_mesh(mesh: Mesh, axis: str = "data"):
+    _TRACE_MESH.append((mesh, axis))
+    try:
+        yield
+    finally:
+        _TRACE_MESH.pop()
+
+
+def current_trace_mesh():
+    """(mesh, data_axis_name) the enclosing jit_step is traced for, or None."""
+    return _TRACE_MESH[-1] if _TRACE_MESH else None
 
 
 def make_mesh(devices: Optional[Sequence] = None, axis: str = "data") -> Mesh:
@@ -71,8 +95,13 @@ def jit_step(step_fn, mesh: Mesh, n_batch_args: int = 1, n_scalar_args: int = 0,
     donate = (0,) if donate_state else ()
     if donate_batches:
         donate = donate + tuple(range(1, 1 + n_batch_args))
+
+    def traced(*args):
+        with trace_mesh(mesh, axis):
+            return step_fn(*args)
+
     return jax.jit(
-        step_fn,
+        traced,
         in_shardings=in_shardings,
         donate_argnums=donate,
     )

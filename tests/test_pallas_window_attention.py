@@ -106,6 +106,80 @@ class TestPallasWindowAttention:
                                    rtol=2e-2, atol=2e-2)
 
 
+class TestShardedWindowAttention:
+    def test_shard_map_matches_global_einsum(self):
+        """window_attention_sharded on the 8-dev mesh == global einsum.
+
+        Exercises the multi-device lowering path (a bare pallas_call is
+        an opaque custom call the SPMD partitioner would gather) and the
+        replicated-bias cotangent psum inserted by shard_map's transpose.
+        """
+        from semiuhpe_tpu.ops.pallas_window_attention import \
+            window_attention_sharded
+        from semiuhpe_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                                trace_mesh)
+
+        mesh = make_mesh()
+        h, b, n, d = 2, 16, 49, 32  # b=16 -> 2 windows per device
+        q, k, v, bias = _make(h, b, n, d, jnp.float32)
+        scale = d ** -0.5
+        w = jnp.asarray(
+            np.random.default_rng(1).normal(size=(h, b, n, d)), jnp.float32)
+
+        def loss_ref(q, k, v, bias):
+            return jnp.sum(einsum_reference(q, k, v, bias, scale) * w)
+
+        def loss_sharded(q, k, v, bias):
+            out = window_attention_sharded(q, k, v, bias, scale, mesh,
+                                           interpret=True)
+            return jnp.sum(out * w)
+
+        ref_l, ref_g = jax.value_and_grad(
+            loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        got_l, got_g = jax.jit(jax.value_and_grad(
+            loss_sharded, argnums=(0, 1, 2, 3)))(q, k, v, bias)
+        np.testing.assert_allclose(float(got_l), float(ref_l), rtol=1e-4)
+        for a, b_ in zip(got_g, ref_g):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=3e-4, atol=3e-4)
+
+    def test_trace_mesh_routes_module_through_shard_map(self):
+        """A WindowAttention module traced under jit_step on the 8-dev
+        mesh (interpret mode) matches the einsum path, with the input
+        batch actually sharded."""
+        from semiuhpe_tpu.models import tinyvit
+        from semiuhpe_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                                trace_mesh)
+        import os
+
+        mesh = make_mesh()
+        x = jnp.asarray(
+            np.random.default_rng(3).normal(size=(16, 49, 64)), jnp.float32)
+        mod = tinyvit.WindowAttention(64, 32, 2, (7, 7), dtype=jnp.float32)
+        params = mod.init(jax.random.key(0), x)
+
+        old = os.environ.get("SEMIUHPE_PALLAS_ATTN")
+        try:
+            os.environ["SEMIUHPE_PALLAS_ATTN"] = "0"
+            y_ref = mod.apply(params, x)
+
+            os.environ["SEMIUHPE_PALLAS_ATTN"] = "interpret"
+
+            def fwd(p, xb):
+                with trace_mesh(mesh, "data"):
+                    return mod.apply(p, xb)
+
+            xs = jax.device_put(x, batch_sharding(mesh))
+            y = jax.jit(fwd)(params, xs)
+        finally:
+            if old is None:
+                os.environ.pop("SEMIUHPE_PALLAS_ATTN", None)
+            else:
+                os.environ["SEMIUHPE_PALLAS_ATTN"] = old
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
 class TestTinyViTPallasToggle:
     def test_tinyvit_block_toggle_equivalence(self, monkeypatch):
         """WindowAttention module output identical under both paths."""
