@@ -193,6 +193,10 @@ def main():
             "step_ms": round(dt / n_steps * 1000, 2),
             "compile_s": round(compile_s, 1),
             "timing": "device-side lax.scan, rotating staged batches",
+            "vs_round1": "r01's 8,148 was a sync artifact: block_until_"
+                         "ready is a no-op through the axon relay, so the"
+                         " scan hadn't finished; this number is value-"
+                         "fetch synced (BENCH_NOTES.md)",
             "baseline_estimate":
                 "A100 reference SSL step ~500 imgs/s (see docstring)",
         },
