@@ -75,8 +75,14 @@ def main(argv=None):
 
     from jax import export as jexport
 
+    from semiuhpe_tpu.models.tinyvit import pallas_attn_mode
+
     spec = jax.ShapeDtypeStruct((args.serve_batch, size, size, 3), jnp.float32)
-    exported = jexport.export(jax.jit(serve))(spec)
+    # Trace with the Pallas attention forced off: a Mosaic custom call
+    # baked into the artifact is not portable StableHLO (jax.export
+    # rejects no-compatibility-guarantee custom calls).
+    with pallas_attn_mode("off"):
+        exported = jexport.export(jax.jit(serve))(spec)
     blob = exported.serialize()
     with open(args.out, "wb") as f:
         f.write(blob)
@@ -84,7 +90,8 @@ def main(argv=None):
     # Round-trip verification.
     x = jnp.asarray(np.random.default_rng(0).normal(
         size=(args.serve_batch, size, size, 3)).astype(np.float32))
-    live_rot, _ = serve(x)
+    with pallas_attn_mode("off"):
+        live_rot, _ = serve(x)
     reloaded = jexport.deserialize(blob)
     exp_rot, _ = reloaded.call(x)
     np.testing.assert_allclose(np.asarray(exp_rot), np.asarray(live_rot),

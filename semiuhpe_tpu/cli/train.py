@@ -319,11 +319,13 @@ def main(argv=None):
     ssl_step_fast = _mk_ssl(False)
     ssl_step_diag = _mk_ssl(True)
 
+    from semiuhpe_tpu.parallel.mesh import jit_with_mesh
+
     def _mk_eval(use_ema):
         fn = steps_mod.make_eval_step(net, config.distribution, grids9,
                                       use_ema=use_ema)
         if not dd:
-            return jax.jit(fn)
+            return jit_with_mesh(fn, mesh)
         from semiuhpe_tpu.data.device_pool import gather
         from semiuhpe_tpu.parallel.mesh import replicated
 
@@ -331,11 +333,13 @@ def main(argv=None):
             return fn(state, gather(pools, idx), conf_thres)
 
         repl = replicated(mesh)
-        return jax.jit(pooled, in_shardings=(repl, repl, idx_sh, repl))
+        return jit_with_mesh(pooled, mesh,
+                             in_shardings=(repl, repl, idx_sh, repl))
 
     eval_student = _mk_eval(False)
     eval_teacher = _mk_eval(True)
-    entropy_fn = jax.jit(steps_mod.make_entropy_fn(net, use_ema=True))
+    entropy_fn = jit_with_mesh(steps_mod.make_entropy_fn(net, use_ema=True),
+                               mesh)
     if dd:
         from semiuhpe_tpu.ops.views import normalize_u8
         from semiuhpe_tpu.parallel.mesh import replicated
@@ -346,11 +350,12 @@ def main(argv=None):
             img = normalize_u8(jnp.take(pools["img_raw"], idx, axis=0))
             return _ent_inner(state, img)
 
-        entropy_pool = jax.jit(
-            _entropy_pooled,
+        entropy_pool = jit_with_mesh(
+            _entropy_pooled, mesh,
             in_shardings=(replicated(mesh), replicated(mesh), idx_sh))
-    feature_fn = (jax.jit(steps_mod.make_feature_entropy_fn(net, use_ema=True))
-                  if config.save_feat else None)
+    feature_fn = (jit_with_mesh(
+        steps_mod.make_feature_entropy_fn(net, use_ema=True), mesh)
+        if config.save_feat else None)
 
     # ----- resume -----
     if config.cont_ckpt:

@@ -14,6 +14,8 @@ attention math runs at the given `dtype` (bfloat16-safe) with fp32 softmax.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import itertools
 import os
 from typing import Any, Optional, Sequence, Tuple
@@ -26,6 +28,25 @@ import numpy as np
 from semiuhpe_tpu.models.layers import ConvBN, RegressionHead, StochasticDepth
 
 
+_ATTN_MODE_OVERRIDE = contextvars.ContextVar("pallas_attn_mode",
+                                             default=None)
+
+
+@contextlib.contextmanager
+def pallas_attn_mode(mode: str):
+    """Force the attention lowering for code traced in this context.
+
+    Used by cli/export.py: a Mosaic custom call baked into an exported
+    graph is not portable StableHLO, so serve graphs trace with
+    pallas_attn_mode('off').
+    """
+    token = _ATTN_MODE_OVERRIDE.set(mode)
+    try:
+        yield
+    finally:
+        _ATTN_MODE_OVERRIDE.reset(token)
+
+
 def _pallas_attn_mode() -> str:
     """'off' | 'on' | 'interpret' — fused Pallas window attention toggle.
 
@@ -33,9 +54,16 @@ def _pallas_attn_mode() -> str:
     in VMEM; see ops/pallas_window_attention.py), off elsewhere (the XLA
     einsum path is fine on CPU and keeps tests fast).
     """
+    override = _ATTN_MODE_OVERRIDE.get()
+    if override is not None:
+        return override
     v = os.environ.get("SEMIUHPE_PALLAS_ATTN")
     if v is not None:
-        return {"0": "off", "1": "on"}.get(v, v)
+        mode = {"0": "off", "1": "on"}.get(v, v)
+        if mode not in ("off", "on", "interpret"):
+            raise ValueError(
+                f"SEMIUHPE_PALLAS_ATTN={v!r}: expected 0, 1, or interpret")
+        return mode
     return "on" if jax.default_backend() == "tpu" else "off"
 
 

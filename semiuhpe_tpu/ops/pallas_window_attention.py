@@ -31,9 +31,10 @@ accumulated across the window-chunk grid dimension by revisiting the
 same output block (the window axis is the innermost grid dim, so Mosaic
 keeps the accumulator resident in VMEM between steps).
 
-Used by models/tinyvit.py when SEMIUHPE_PALLAS_ATTN=1 (TPU backends).
-Equivalence vs the einsum path is property-tested in
-tests/test_pallas_window_attention.py (interpret mode, values + all
+Used by models/tinyvit.py — default ON for TPU backends; set
+SEMIUHPE_PALLAS_ATTN=0 to revert to the einsum path, =interpret for
+CPU-hermetic runs.  Equivalence vs the einsum path is property-tested
+in tests/test_pallas_window_attention.py (interpret mode, values + all
 gradients).
 """
 
@@ -52,18 +53,22 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pick_chunk(b: int, n: int, d: int, n_io: int, n_tmp: int,
+                itemsize: int = 2,
                 bytes_budget: int = 13 * 2 ** 20) -> int:
     """Largest window-chunk G dividing b whose working set fits VMEM.
 
     Mosaic pads the two minor dims of every buffer to the dtype tile
-    (bf16: (16,128), fp32: (8,128)) and double-buffers the pipelined IO
-    blocks, so the cost model must count padded slabs — with D=32 the
-    lane dim pads 4x.  `n_io` counts (N, D)-shaped dtype blocks crossing
-    the grid (double-buffered); `n_tmp` counts fp32 (N, N) logits-sized
-    in-kernel temporaries (calibrated: fwd ~2, bwd ~4).  The 13 MiB
-    budget leaves headroom under the 16 MiB scoped-vmem limit.
+    (2-byte dtypes: (16,128), 4-byte: (8,128)) and double-buffers the
+    pipelined IO blocks, so the cost model must count padded slabs —
+    with D=32 the lane dim pads 4x.  `n_io` counts (N, D)-shaped
+    compute-dtype blocks crossing the grid (double-buffered); `itemsize`
+    is that dtype's width (fp32 inputs need twice the bf16 slab);
+    `n_tmp` counts fp32 (N, N) logits-sized in-kernel temporaries
+    (calibrated: fwd ~2, bwd ~4).  The 13 MiB budget leaves headroom
+    under the 16 MiB scoped-vmem limit.
     """
-    io = _round_up(n, 16) * _round_up(d, 128) * 2
+    io_sub = 16 if itemsize == 2 else 8
+    io = _round_up(n, io_sub) * _round_up(d, 128) * itemsize
     tmp = _round_up(n, 8) * _round_up(n, 128) * 4
     per_g = 2 * n_io * io + n_tmp * tmp
     best = 1
@@ -167,7 +172,7 @@ def window_attention(q, k, v, bias, scale, interpret=False):
 
 def _fwd(q, k, v, bias, scale, interpret):
     h, b, n, d = q.shape
-    g = _pick_chunk(b, n, d, n_io=4, n_tmp=2)
+    g = _pick_chunk(b, n, d, n_io=4, n_tmp=2, itemsize=q.dtype.itemsize)
     qkv_spec, bias_spec = _specs(h, b, g, n, d)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale),
@@ -186,7 +191,7 @@ def _fwd_rule(q, k, v, bias, scale, interpret):
 def _bwd_rule(scale, interpret, res, do):
     q, k, v, bias = res
     h, b, n, d = q.shape
-    g = _pick_chunk(b, n, d, n_io=7, n_tmp=4)
+    g = _pick_chunk(b, n, d, n_io=7, n_tmp=4, itemsize=q.dtype.itemsize)
     qkv_spec, bias_spec = _specs(h, b, g, n, d)
     dq, dk, dv, dbias = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale),

@@ -16,6 +16,7 @@ semantics exactly — unlike per-replica BN in pmap-style code.
 from __future__ import annotations
 
 import contextlib
+import threading
 from typing import Any, Optional, Sequence
 
 import jax
@@ -29,21 +30,27 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 # mesh the surrounding step is being traced for.  jit traces
 # synchronously on first call, so a plain context manager around the
 # traced body is sufficient.
-_TRACE_MESH: list = []
+# Thread-local so concurrent traces (e.g. an eval program warmed on a
+# side thread) cannot see each other's mesh.
+_TRACE_MESH = threading.local()
 
 
 @contextlib.contextmanager
 def trace_mesh(mesh: Mesh, axis: str = "data"):
-    _TRACE_MESH.append((mesh, axis))
+    stack = getattr(_TRACE_MESH, "stack", None)
+    if stack is None:
+        stack = _TRACE_MESH.stack = []
+    stack.append((mesh, axis))
     try:
         yield
     finally:
-        _TRACE_MESH.pop()
+        stack.pop()
 
 
 def current_trace_mesh():
     """(mesh, data_axis_name) the enclosing jit_step is traced for, or None."""
-    return _TRACE_MESH[-1] if _TRACE_MESH else None
+    stack = getattr(_TRACE_MESH, "stack", None)
+    return stack[-1] if stack else None
 
 
 def make_mesh(devices: Optional[Sequence] = None, axis: str = "data") -> Mesh:
@@ -69,6 +76,20 @@ def shard_batch(mesh: Mesh, batch: Any, axis: str = "data") -> Any:
 def replicate(mesh: Mesh, tree: Any) -> Any:
     sharding = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def jit_with_mesh(fn, mesh: Mesh, axis: str = "data", **jit_kwargs):
+    """jax.jit with the mesh published at trace time (see trace_mesh).
+
+    Use for every mesh-bound program that applies a network — eval,
+    entropy sweeps, feature dumps — not just the train steps, so
+    mesh-aware lowering (e.g. the shard_map'd Pallas window attention)
+    triggers consistently."""
+    def traced(*args):
+        with trace_mesh(mesh, axis):
+            return fn(*args)
+
+    return jax.jit(traced, **jit_kwargs)
 
 
 def jit_step(step_fn, mesh: Mesh, n_batch_args: int = 1, n_scalar_args: int = 0,

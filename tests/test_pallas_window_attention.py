@@ -52,28 +52,45 @@ class TestPallasWindowAttention:
         # bwd-shaped picks must chunk so the d_bias grid accumulation is real
         assert _pick_chunk(32, 196, 32, n_io=7, n_tmp=4) < 32
 
-    @pytest.mark.parametrize("b,n,d", [
-        (160, 196, 32),    # TinyViT-21m stage 3 @224 (student batch 160)
-        (2560, 49, 32),    # stage 2 (160 imgs x 16 windows)
-        (640, 49, 32),     # stage 4
-        (2048, 49, 32),    # teacher b128 stage 2
+    @pytest.mark.parametrize("b,n,d,itemsize,fwd_g,bwd_g", [
+        # TinyViT-21m @224 shapes.  Golden chunks: any cost-model change
+        # surfaces here and must be re-validated on hardware.
+        (160, 196, 32, 2, 16, 8),      # stage 3, bf16 (student batch 160)
+        (2560, 49, 32, 2, 64, 32),     # stage 2, bf16 (160 imgs x 16 win)
+        (640, 49, 32, 2, 64, 32),      # stage 4, bf16
+        (2048, 49, 32, 2, 64, 32),     # teacher b128 stage 2, bf16
+        (160, 196, 32, 4, 10, 5),      # stage 3, --dtype float32
+        (2560, 49, 32, 4, 40, 20),     # stage 2, float32
     ])
-    def test_pick_chunk_respects_scoped_vmem(self, b, n, d):
+    def test_pick_chunk_respects_scoped_vmem(self, b, n, d, itemsize,
+                                             fwd_g, bwd_g):
         """Padded working set must stay under the 16 MiB scoped-vmem limit.
 
-        Regression: the pre-padding cost model picked G=160 at stage-2
-        shapes -> 17.5 MiB scoped allocation -> Mosaic compile OOM.
+        Regressions this guards (both hit Mosaic compile OOMs, which no
+        CPU test can reproduce directly):
+        - the pre-padding cost model picked G=160 at stage-2 bf16 shapes
+          -> 17.5 MiB scoped allocation;
+        - the bf16-hardcoded model picked G=16/64 for float32 inputs
+          -> 17.2-18.8 MiB.
+        The byte oracle below is written independently: it materializes
+        the Mosaic-padded buffer shapes per dtype tile and sums them.
         """
-        def padded_cost(g, n_io, n_tmp):
-            rup = lambda x, m: -(-x // m) * m
-            io = rup(n, 16) * rup(d, 128) * 2
-            tmp = rup(n, 8) * rup(n, 128) * 4
-            return g * (2 * n_io * io + n_tmp * tmp)
+        def tile_padded_bytes(shape2d, width):
+            # Mosaic tiles: (16, 128) for 2-byte dtypes, (8, 128) for
+            # 4-byte; both minor dims round up to the tile.
+            sublane = {2: 16, 4: 8}[width]
+            rows = -(-shape2d[0] // sublane) * sublane
+            cols = -(-shape2d[1] // 128) * 128
+            return rows * cols * width
 
-        for n_io, n_tmp in [(4, 2), (7, 4)]:
-            g = _pick_chunk(b, n, d, n_io=n_io, n_tmp=n_tmp)
+        for n_io, n_tmp, expect in [(4, 2, fwd_g), (7, 4, bwd_g)]:
+            g = _pick_chunk(b, n, d, n_io=n_io, n_tmp=n_tmp,
+                            itemsize=itemsize)
+            assert g == expect, (b, n, d, itemsize, n_io, g, expect)
             assert b % g == 0
-            assert padded_cost(g, n_io, n_tmp) <= 14 * 2 ** 20
+            io_blocks = 2 * n_io * g * tile_padded_bytes((n, d), itemsize)
+            tmp_bufs = n_tmp * g * tile_padded_bytes((n, n), 4)
+            assert io_blocks + tmp_bufs <= 14 * 2 ** 20
 
     @pytest.mark.parametrize("h,b,n,d", [
         (2, 8, 49, 32),
