@@ -22,6 +22,7 @@ Synthetic smoke run (no datasets needed):
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import sys
@@ -162,6 +163,30 @@ def evaluate(eval_step, state, test_loader, mesh, conf_thres, batch_size,
     err_pseudo = float(masked.mean()) if masked.size else -1.0
     return (float(np.sum(losses) / n_total), float(errs.mean()),
             float(masks_n / n_total), err_pseudo)
+
+
+def plan_chunk(it: int, config) -> int:
+    """Return --scan_chunk when a full chunk of steps starting after
+    iteration ``it`` crosses no boundary, else 1 (single-step dispatch).
+
+    Boundaries: log/val/save frequencies (post-increment space), the
+    stage-1 -> SSL transition, and max_iteration.  An SSL chunk may not
+    even *end* on a log boundary — that step must be the diagnostic
+    single-step program so the log line carries the extra SVD metrics.
+    """
+    k = config.scan_chunk
+    s1 = it < config.stage1_iteration
+    if it + k > config.max_iteration:
+        return 1
+    if s1 and it + k > config.stage1_iteration:
+        return 1
+    for freq, strict in ((config.log_frequency, not s1),
+                         (config.val_frequency, False),
+                         (config.save_frequency, False)):
+        nxt = freq - it % freq
+        if nxt < k or (strict and nxt == k):
+            return 1
+    return k
 
 
 def _rss_gb() -> float:
@@ -319,6 +344,23 @@ def main(argv=None):
     ssl_step_fast = _mk_ssl(False)
     ssl_step_diag = _mk_ssl(True)
 
+    # Chunked dispatch (--scan_chunk, device_data only): K steps per
+    # lax.scan program.  Single fixed K so exactly one extra executable
+    # compiles per stage; boundary-adjacent steps run singly.
+    sup_scan = ssl_scan = idx_rows_sh = None
+    if dd and config.scan_chunk > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from semiuhpe_tpu.data.device_pool import jit_pool_scan
+
+        idx_rows_sh = NamedSharding(mesh, P(None, "data"))
+        sup_scan = jit_pool_scan(sup_fn, mesh, n_batches=1, n_scalar_args=0)
+        if do_ssl:
+            ssl_scan = jit_pool_scan(
+                steps_mod.make_ssl_step(net, config.lr,
+                                        with_diagnostics=False, **ssl_kwargs),
+                mesh, n_batches=2, n_scalar_args=2)
+
     from semiuhpe_tpu.parallel.mesh import jit_with_mesh
 
     def _mk_eval(use_ema):
@@ -413,49 +455,97 @@ def main(argv=None):
                 logger.line(f"profiler trace written to {config.profile_dir}")
 
             s1 = it < config.stage1_iteration
-            rng = jax.random.key(config.seed * 1_000_003 + it)
-            if it < 2 and not dd and "img" in data:
-                save_visual_fixtures(config.log_dir, data["img"],
-                                     f"{config.train_labeled}_weak_")
-            step_timer.start()
-            if s1:
-                if dd:
-                    state, metrics = sup_step(
-                        state, lb_pool.arrays, jax.device_put(data, idx_sh),
-                        rng)
+            chunk = (plan_chunk(it, config)
+                     if sup_scan is not None and not config.profile_dir
+                     else 1)
+            if chunk > 1:
+                rows = [data] + list(itertools.islice(data_iter, chunk - 1))
+                step_timer.start()
+                if len(rows) < chunk:
+                    # Epoch tail shorter than the chunk: single steps (no
+                    # boundary lies inside the planned range).
+                    for row in rows:
+                        rng = jax.random.key(config.seed * 1_000_003 + it)
+                        ridx = jax.device_put(row, idx_sh)
+                        if s1:
+                            state, metrics = sup_step(
+                                state, lb_pool.arrays, ridx, rng)
+                        else:
+                            state, metrics = ssl_step_fast(
+                                state, lb_pool.arrays, ridx,
+                                ulb_pool.arrays,
+                                jax.device_put(next(ulb_idx_iter), idx_sh),
+                                rng, jnp.float32(conf_thres),
+                                jnp.float32(config.SSL_lambda))
+                        it += 1
+                    n_imgs = (batch if s1 else batch + ulb_batch) * len(rows)
                 else:
-                    sdata = shard_batch(mesh, data)
-                    state, metrics = sup_step(state, sdata, rng)
-                n_imgs = batch
+                    # One device program for the whole chunk; per-step keys
+                    # keep results bit-identical to single-step dispatch.
+                    keys = jnp.stack([
+                        jax.random.key(config.seed * 1_000_003 + it + j)
+                        for j in range(chunk)])
+                    idxs = jax.device_put(np.stack(rows), idx_rows_sh)
+                    if s1:
+                        state, metrics = sup_scan(
+                            state, lb_pool.arrays, idxs, keys)
+                        n_imgs = batch * chunk
+                    else:
+                        ulb_rows = np.stack(
+                            [next(ulb_idx_iter) for _ in range(chunk)])
+                        state, metrics = ssl_scan(
+                            state, lb_pool.arrays, idxs, ulb_pool.arrays,
+                            jax.device_put(ulb_rows, idx_rows_sh), keys,
+                            jnp.float32(conf_thres),
+                            jnp.float32(config.SSL_lambda))
+                        n_imgs = (batch + ulb_batch) * chunk
+                    it += chunk
+                step_timer.stop()
+                rate = meter.tick(n_imgs)
             else:
-                ssl_step = (ssl_step_diag
-                            if (it + 1) % config.log_frequency == 0
-                            else ssl_step_fast)
-                if dd:
-                    state, metrics = ssl_step(
-                        state, lb_pool.arrays, jax.device_put(data, idx_sh),
-                        ulb_pool.arrays,
-                        jax.device_put(next(ulb_idx_iter), idx_sh),
-                        rng, jnp.float32(conf_thres),
-                        jnp.float32(config.SSL_lambda))
+                rng = jax.random.key(config.seed * 1_000_003 + it)
+                if it < 2 and not dd and "img" in data:
+                    save_visual_fixtures(config.log_dir, data["img"],
+                                         f"{config.train_labeled}_weak_")
+                step_timer.start()
+                if s1:
+                    if dd:
+                        state, metrics = sup_step(
+                            state, lb_pool.arrays,
+                            jax.device_put(data, idx_sh), rng)
+                    else:
+                        sdata = shard_batch(mesh, data)
+                        state, metrics = sup_step(state, sdata, rng)
+                    n_imgs = batch
                 else:
-                    ulb_data = next(ulb_iter)  # already sharded on the mesh
-                    if (it < config.stage1_iteration + 2
-                            and "img_strong" in ulb_data):
-                        save_visual_fixtures(
-                            config.log_dir,
-                            jax.device_get(ulb_data["img_strong"]),
-                            f"{config.train_unlabeled}_strong_")
-                    state, metrics = ssl_step(
-                        state, shard_batch(mesh, data), ulb_data,
-                        rng, jnp.float32(conf_thres),
-                        jnp.float32(config.SSL_lambda))
-                n_imgs = batch + ulb_batch
-            jax.block_until_ready(metrics) if config.profile_dir else None
-            step_timer.stop()
-            rate = meter.tick(n_imgs)
-
-            it += 1
+                    ssl_step = (ssl_step_diag
+                                if (it + 1) % config.log_frequency == 0
+                                else ssl_step_fast)
+                    if dd:
+                        state, metrics = ssl_step(
+                            state, lb_pool.arrays,
+                            jax.device_put(data, idx_sh),
+                            ulb_pool.arrays,
+                            jax.device_put(next(ulb_idx_iter), idx_sh),
+                            rng, jnp.float32(conf_thres),
+                            jnp.float32(config.SSL_lambda))
+                    else:
+                        ulb_data = next(ulb_iter)  # already sharded on the mesh
+                        if (it < config.stage1_iteration + 2
+                                and "img_strong" in ulb_data):
+                            save_visual_fixtures(
+                                config.log_dir,
+                                jax.device_get(ulb_data["img_strong"]),
+                                f"{config.train_unlabeled}_strong_")
+                        state, metrics = ssl_step(
+                            state, shard_batch(mesh, data), ulb_data,
+                            rng, jnp.float32(conf_thres),
+                            jnp.float32(config.SSL_lambda))
+                    n_imgs = batch + ulb_batch
+                jax.block_until_ready(metrics) if config.profile_dir else None
+                step_timer.stop()
+                rate = meter.tick(n_imgs)
+                it += 1
             if it % config.log_frequency == 0:
                 m = {k: float(v) for k, v in jax.device_get(metrics).items()}
                 m["imgs_per_sec"] = rate

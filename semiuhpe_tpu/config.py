@@ -146,6 +146,15 @@ def build_parser(phase: str) -> argparse.ArgumentParser:
                         "--device_views + --packed_cache. The big win on "
                         "remote/relay-attached TPUs where H2D is slow.")
 
+    p.add_argument("--scan_chunk", type=int, default=1,
+                   help="with --device_data: dispatch K train steps as one "
+                        "device-side lax.scan program (one host round-trip "
+                        "per chunk instead of per step; amortizes the "
+                        "relay's per-dispatch cost). Steps adjacent to "
+                        "log/val/sweep/stage boundaries run singly so only "
+                        "one scan shape compiles. Prefer a K dividing "
+                        "gcd(log, val, save frequencies). 1 = off.")
+
     # test
     p.add_argument("--eval_batch_size", type=int, default=64)
 

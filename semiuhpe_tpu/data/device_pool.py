@@ -114,6 +114,63 @@ def jit_pool_step(step_fn, mesh, n_batches: int = 1, n_scalar_args: int = 0,
                    donate_argnums=(0,) if donate_state else ())
 
 
+def jit_pool_scan(step_fn, mesh, n_batches: int = 1, n_scalar_args: int = 0,
+                  axis: str = "data", donate_state: bool = True):
+    """K-step `lax.scan` twin of jit_pool_step: one dispatch per chunk.
+
+    Per-step dispatch through the axon relay costs ~10-30 ms of host
+    round-trips that short steps (supervised b32 @224 compute ~13 ms)
+    cannot hide; scanning K steps device-side amortizes it to ~1/K.
+
+    Returned callable:
+        (state, pools_0, idxs_0 (K, b0), [pools_1, idxs_1 (K, b1)],
+         keys (K,), *scalars) -> (state, last_step_metrics)
+
+    All K batches are gathered from the resident pools OUTSIDE the scan
+    and scanned as xs — an in-scan gather from the staged pool measured
+    ~100x slower through the relay (BENCH_NOTES), while scan's xs
+    slicing is the standard fast path.  `keys` carries one PRNG key per
+    step so results are bit-identical to K single-step dispatches.
+    Scalars (e.g. conf_thres) are constant across the chunk; the caller
+    must end chunks at every boundary that changes them.
+    """
+    from semiuhpe_tpu.parallel.mesh import replicated, trace_mesh
+
+    def chunked(state, *args):
+        pools = [args[2 * i] for i in range(n_batches)]
+        idxs = [args[2 * i + 1] for i in range(n_batches)]
+        keys = args[2 * n_batches]
+        scalars = args[2 * n_batches + 1:]
+        k = idxs[0].shape[0]
+        batches = []
+        for p, ix in zip(pools, idxs):
+            flat = gather(p, ix.reshape(-1))
+            batches.append(jax.tree_util.tree_map(
+                lambda a, b=ix.shape[1]: a.reshape((k, b) + a.shape[1:]),
+                flat))
+
+        def body(st, xs):
+            bs, key = xs[:-1], xs[-1]
+            st, metrics = step_fn(st, *bs, key, *scalars)
+            return st, metrics
+
+        state_out, ms = jax.lax.scan(body, state, (*batches, keys))
+        return state_out, jax.tree_util.tree_map(lambda a: a[-1], ms)
+
+    def traced(*args):
+        with trace_mesh(mesh, axis):
+            return chunked(*args)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = replicated(mesh)
+    idx_rows = NamedSharding(mesh, P(None, axis))
+    in_shardings = ((repl,) + (repl, idx_rows) * n_batches + (repl,)
+                    + (repl,) * n_scalar_args)
+    return jax.jit(traced, in_shardings=in_shardings,
+                   donate_argnums=(0,) if donate_state else ())
+
+
 def epoch_indices(n: int, batch: int, seed: int, epoch: int,
                   shuffle: bool = True) -> Iterator[np.ndarray]:
     """Shuffled drop-last index batches for one epoch (Loader-equivalent

@@ -107,3 +107,65 @@ def test_device_data_train_e2e(tmp_path):
                 "--packed_cache", str(tmp_path / "pack"),
                 "--device_data", "true", "--exp_name", "ddp"])
     assert np.isfinite(best_err) and best_err < 360
+
+
+def test_jit_pool_scan_matches_sequential_steps():
+    """One K-step jit_pool_scan chunk == K sequential jit_pool_step
+    dispatches: same per-step keys and index rows, state carried through
+    identically (the trainer's --scan_chunk correctness contract)."""
+    from semiuhpe_tpu.data.device_pool import jit_pool_scan
+    from semiuhpe_tpu.parallel.mesh import batch_sharding, replicated
+
+    mesh = make_mesh()
+    ds = _FakePacked(n=64)
+    pool = DevicePool(ds, mesh)
+
+    def step(state, batch, key, scale):
+        x = batch["img_raw"].astype(jnp.float32) / 255.0
+        noise = jax.random.normal(key, ())
+        new = state * 0.9 + jnp.mean(x) * scale + 0.01 * noise
+        return new, {"s": jnp.sum(x), "state": new}
+
+    k, b = 3, 16
+    rows = np.stack([np.arange(i * b, (i + 1) * b, dtype=np.int32)
+                     for i in range(k)])
+    keys = jnp.stack([jax.random.key(100 + i) for i in range(k)])
+
+    single = jit_pool_step(step, mesh, n_batches=1, n_scalar_args=2,
+                           donate_state=False)
+    st = jnp.float32(1.0)
+    for i in range(k):
+        st, m_last = single(st, pool.arrays,
+                            jax.device_put(rows[i], batch_sharding(mesh)),
+                            keys[i], jnp.float32(3.0))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    scan = jit_pool_scan(step, mesh, n_batches=1, n_scalar_args=1,
+                         donate_state=False)
+    st_c, m_c = scan(jnp.float32(1.0), pool.arrays,
+                     jax.device_put(rows, NamedSharding(mesh, P(None, "data"))),
+                     keys, jnp.float32(3.0))
+    np.testing.assert_allclose(float(st_c), float(st), rtol=1e-6)
+    np.testing.assert_allclose(float(m_c["s"]), float(m_last["s"]), rtol=1e-6)
+
+
+def test_scan_chunk_train_e2e(tmp_path):
+    """Full trainer with --scan_chunk 2: exercises full chunks, the
+    single-step fallback at every log/val/stage boundary, and an
+    epoch-tail shorter than the chunk.  The trajectory tracks the
+    single-step run closely (bitwise parity is not guaranteed across
+    program boundaries — XLA may reassociate reductions differently in
+    the scan body — so compare with a loose tolerance)."""
+    from semiuhpe_tpu.cli import train as train_cli
+    from tests.test_e2e import ARGS
+
+    common = ARGS + ["--device_views", "true",
+                     "--packed_cache", str(tmp_path / "pack"),
+                     "--device_data", "true"]
+    err_single = train_cli.main(
+        common + ["--exp_dir", str(tmp_path / "a"), "--exp_name", "one"])
+    err_chunked = train_cli.main(
+        common + ["--exp_dir", str(tmp_path / "b"), "--exp_name", "two",
+                  "--scan_chunk", "2"])
+    assert np.isfinite(err_chunked)
+    np.testing.assert_allclose(err_chunked, err_single, rtol=0.05)
