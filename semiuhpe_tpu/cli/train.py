@@ -225,7 +225,11 @@ def main(argv=None):
         decode+crop happens one time; per-epoch stochastic views run on
         device.  Collapses per-batch host cost to a memmap gather."""
         ds = get_dataset(name, phase, config)
-        if not config.packed_cache or phase == "test":
+        if not config.packed_cache:
+            return ds
+        if phase == "test" and "img_raw" not in ds[0]:
+            # Dataset has no deterministic raw-crop mode (real test sets
+            # keep host-normalized views); leave it unpacked.
             return ds
         assert config.device_views, "--packed_cache requires --device_views"
         from semiuhpe_tpu.data.packed import (PackedHeadPose, is_packed,
@@ -239,7 +243,7 @@ def main(argv=None):
 
     labeled_phase = "train_all" if config.ss_ratio >= 1.0 else "train"
     train_set = maybe_packed(config.train_labeled, labeled_phase)
-    test_set = get_dataset(config.test_set, "test", config)
+    test_set = maybe_packed(config.test_set, "test")
     batch = _round_up(config.batch_size, n_dev)
     config.eval_batch_size = _round_up(config.eval_batch_size, n_dev)
 
@@ -288,7 +292,11 @@ def main(argv=None):
         idx_sh = batch_sharding(mesh)
         logger.line("staging datasets in device HBM (one-time)...")
         lb_pool = DevicePool(train_set, mesh)
-        test_pool = DevicePool(test_set, mesh)
+        # Eval needs only the image + labels; never stage the train-only
+        # tensors (img_strong is a full batch of zeros on test sets).
+        test_pool = DevicePool(test_set, mesh,
+                               keys={"img", "img_raw", "rot_mat",
+                                     "euler_angles"})
         ulb_pool = DevicePool(ulb_set, mesh) if do_ssl else None
         ulb_idx_iter = (iter(infinite_indices(len(ulb_set), ulb_batch,
                                               config.seed + 7))

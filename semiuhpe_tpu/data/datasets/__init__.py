@@ -55,9 +55,12 @@ def get_dataset(name: str, phase: str, config):
             full_range=getattr(config, "is_full_range", False),
             seed=0 if phase != "test" else 1,
             size=getattr(config, "input_size", 224),
-            # Device-views mode ships raw uint8 crops for TRAIN phases
-            # (labeled and unlabeled); test keeps host-normalized views.
-            raw_views=(phase in ("train", "train_all", "ulb_train")
+            # Device-views mode ships raw uint8 crops everywhere.  For the
+            # test phase the raw crop IS the whole deterministic test
+            # transform (the reference applies no stochastic views at
+            # test), so the eval step just normalizes it on device — and
+            # the set becomes packable/stageable as uint8.
+            raw_views=(phase in ("train", "train_all", "ulb_train", "test")
                        and getattr(config, "device_views", False)),
         )
     raise NotImplementedError(f"unknown dataset {name}")

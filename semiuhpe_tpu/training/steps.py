@@ -357,8 +357,18 @@ def make_eval_step(net, distribution: str = "matrixFisher", grids9=None,
     def step(state: TrainState, batch, conf_thres):
         params = state.ema_params if use_ema else state.params
         stats = state.ema_batch_stats if use_ema else state.batch_stats
+        if "img" in batch:
+            img = batch["img"]
+        else:
+            # Packed/raw test batches ship uint8 base crops; the test-time
+            # transform is deterministic (crop -> resize -> normalize, no
+            # stochastic views — reference test pipeline), so normalizing
+            # on device is the whole of it.
+            from semiuhpe_tpu.ops.views import normalize_u8
+
+            img = normalize_u8(batch["img_raw"])
         out = net.apply({"params": params, "batch_stats": stats},
-                        batch["img"], train=False)
+                        img, train=False)
         if distribution == "RotationLaplace":
             losses, pred_orth = laplace.laplace_nll(out, batch["rot_mat"], grids9)
         else:
