@@ -24,8 +24,12 @@ done
   echo "train_auto_resume: --exp_dir/--exp_name required" >&2; exit 2; }
 
 latest_ckpt() {
-  # newest <detail>/<date>/model/latest under the experiment
-  ls -td "$EXP_DIR/$EXP_NAME"/*/*/model/latest 2>/dev/null | head -1
+  # newest <detail>/<date>/model/latest under the experiment; fall back
+  # to `best` (e.g. the very first save wedged before `latest` ever
+  # finalized — best+sidecar are written first, so resuming from best
+  # loses at most one val interval and keeps best-ckpt semantics).
+  ls -td "$EXP_DIR/$EXP_NAME"/*/*/model/latest \
+         "$EXP_DIR/$EXP_NAME"/*/*/model/best 2>/dev/null | head -1
 }
 
 MAX_RESTARTS=${MAX_RESTARTS:-40}

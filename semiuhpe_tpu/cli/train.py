@@ -239,7 +239,17 @@ def main(argv=None):
         if not is_packed(d):
             logger.line(f"packing {name}/{phase} -> {d} (one-time)")
             pack_dataset(ds, d)
-        return PackedHeadPose(d)
+        packed = PackedHeadPose(d)
+        fp = getattr(ds, "fingerprint", None)
+        if len(packed) != len(ds) or (
+                fp is not None and packed.fingerprint is not None
+                and packed.fingerprint != fp):
+            # The cache dir was built from a different split/seed/config
+            # (the path key encodes only name/phase/size); rebuild it.
+            logger.line(f"packed cache {d} is stale; repacking")
+            pack_dataset(ds, d)
+            packed = PackedHeadPose(d)
+        return packed
 
     labeled_phase = "train_all" if config.ss_ratio >= 1.0 else "train"
     train_set = maybe_packed(config.train_labeled, labeled_phase)

@@ -107,6 +107,11 @@ class SyntheticHeadPose:
             base.uniform(-75.0, 75.0, total),
         ], -1).astype(np.float32)[offset:]  # (pitch, yaw, roll) degrees
         self.seed = seed
+        # Identity of the rendered pool: everything the pixels/labels
+        # depend on.  Recorded into packed caches (data/packed.py) so a
+        # changed split/seed/size can't silently reuse a stale pack.
+        self.fingerprint = (f"synthetic:n={n}:offset={offset}:seed={seed}"
+                            f":size={size}:full_range={full_range}")
 
     def __len__(self):
         return self.n

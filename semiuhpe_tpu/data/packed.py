@@ -53,8 +53,12 @@ def pack_dataset(dataset, out_dir: str, size: Optional[int] = None,
     os.makedirs(out_dir, exist_ok=True)
 
     imgs_path = os.path.join(out_dir, _IMGS)
+    # Unique temp name: concurrent packers (e.g. two ladder arms racing on
+    # a shared cache) must never interleave writes into one temp file; the
+    # final os.replace publishes whichever finished, atomically.
+    tmp_path = f"{imgs_path}.{os.getpid()}.tmp"
     imgs = np.lib.format.open_memmap(
-        imgs_path + ".tmp", mode="w+", dtype=np.uint8, shape=(n, s, s, 3))
+        tmp_path, mode="w+", dtype=np.uint8, shape=(n, s, s, 3))
     labels = {k: [] for k in _LABEL_KEYS if k in first}
     for i in range(n):
         sample = dataset[i] if i else first
@@ -70,11 +74,14 @@ def pack_dataset(dataset, out_dir: str, size: Optional[int] = None,
             print(f"packed {i + 1}/{n}", flush=True)
     imgs.flush()
     del imgs
-    os.replace(imgs_path + ".tmp", imgs_path)
     np.savez(os.path.join(out_dir, _LABELS),
              **{k: np.stack(v) for k, v in labels.items()})
     with open(os.path.join(out_dir, _META), "w") as f:
-        json.dump({"n": n, "size": s, "labeled": sorted(labels)}, f)
+        json.dump({"n": n, "size": s, "labeled": sorted(labels),
+                   "fingerprint": getattr(dataset, "fingerprint", None)}, f)
+    # Publish the images last: is_packed() keys off _IMGS + _META, so a
+    # reader can never see the images without their labels/meta.
+    os.replace(tmp_path, imgs_path)
     return out_dir
 
 
@@ -97,6 +104,10 @@ class PackedHeadPose:
             meta = json.load(f)
         self.n = int(meta["n"])
         self.size = int(meta["size"])
+        # Source-dataset identity recorded at pack time (None for datasets
+        # that don't define one); lets callers detect a stale cache when
+        # the split/config changed under the same cache dir.
+        self.fingerprint = meta.get("fingerprint")
         self._imgs = np.load(os.path.join(path, _IMGS), mmap_mode="r")
         labels_path = os.path.join(path, _LABELS)
         self._labels: Dict[str, np.ndarray] = {}

@@ -4,22 +4,61 @@ Replaces torch .pth dicts {clock, model, model_ema, optimizer}
 (/root/reference/src/agent.py:302-354) with orbax snapshots of the single
 TrainState pytree (step + student + teacher + optimizer); ``best`` and
 stage-boundary reload semantics live in the train CLI.
+
+Saves are *synchronous* (``ocp.Checkpointer``, not the async
+``StandardCheckpointer``) and guarded by a watchdog: a live 224px run
+deadlocked forever inside the async checkpointer's background
+finalize thread (commit-future wait in an asyncio loop that never woke
+up) with the tmp dir fully written.  The sync path finalizes on the
+calling thread; if even that wedges (remote-backend I/O), the watchdog
+exits 75 (EX_TEMPFAIL) so scripts/train_auto_resume.sh relaunches from
+the last finalized checkpoint instead of hanging the run.
 """
 
 from __future__ import annotations
 
+import glob
 import os
+import shutil
+import sys
+import threading
 from typing import Any
 
 import jax
 import orbax.checkpoint as ocp
 
+# Generous vs the observed healthy save time (<1 min for a 295 MB
+# EffNetV2-S state through the relay); a save that takes longer than
+# this is wedged, not slow.
+_SAVE_TIMEOUT_S = float(os.environ.get("SEMIUHPE_CKPT_TIMEOUT", "600"))
 
-def save_checkpoint(model_dir: str, name: str, state: Any) -> str:
+
+def _clean_stale_tmp(path: str) -> None:
+    """Remove tmp dirs left by a previous hung/killed save at ``path``
+    (orbax refuses to reuse them, and they shadow the real checkpoint)."""
+    for stale in glob.glob(path + ".orbax-checkpoint-tmp*"):
+        shutil.rmtree(stale, ignore_errors=True)
+
+
+def save_checkpoint(model_dir: str, name: str, state: Any,
+                    timeout_s: float = None) -> str:
     path = os.path.abspath(os.path.join(model_dir, name))
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, state, force=True)
-    ckptr.wait_until_finished()
+    _clean_stale_tmp(path)
+    timeout = _SAVE_TIMEOUT_S if timeout_s is None else timeout_s
+
+    def _wedged():
+        print(f"save_checkpoint: wedged >{timeout:g}s writing {path}; "
+              "exiting 75 for auto-resume", file=sys.stderr, flush=True)
+        os._exit(75)
+
+    watchdog = threading.Timer(timeout, _wedged)
+    watchdog.daemon = True
+    watchdog.start()
+    try:
+        with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as ckptr:
+            ckptr.save(path, args=ocp.args.StandardSave(state), force=True)
+    finally:
+        watchdog.cancel()
     return path
 
 
@@ -35,6 +74,7 @@ def load_checkpoint(model_dir: str, name: str, template: Any) -> Any:
         if not os.path.isdir(path_abs):
             raise FileNotFoundError(f"checkpoint {path} not found")
         path = path_abs
-    ckptr = ocp.StandardCheckpointer()
     abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template)
-    return ckptr.restore(os.path.abspath(path), abstract)
+    with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as ckptr:
+        return ckptr.restore(os.path.abspath(path),
+                             args=ocp.args.StandardRestore(abstract))

@@ -82,6 +82,28 @@ def test_pack_roundtrip_and_batch_loader(tmp_path):
     assert loader._pool is None  # fast path never built a pool
 
 
+def test_pack_fingerprint_detects_stale_cache(tmp_path):
+    """A pack carries its source dataset's fingerprint, so a changed
+    split/seed under the same cache path is detectable (the train CLI
+    repacks on mismatch)."""
+    d = str(tmp_path / "packed")
+    ds = SyntheticHeadPose(n=6, raw_views=True, size=32, seed=0)
+    pack_dataset(ds, d, log_every=0)
+    packed = PackedHeadPose(d)
+    assert packed.fingerprint == ds.fingerprint
+    # same n, different seed -> different pool, fingerprints must differ
+    other = SyntheticHeadPose(n=6, raw_views=True, size=32, seed=1)
+    assert other.fingerprint != packed.fingerprint
+    # offset (the ss_ratio split position) is part of the identity too
+    shifted = SyntheticHeadPose(n=6, offset=2, raw_views=True, size=32)
+    assert shifted.fingerprint != packed.fingerprint
+    # repack over the same dir publishes the new identity atomically
+    pack_dataset(other, d, log_every=0)
+    assert PackedHeadPose(d).fingerprint == other.fingerprint
+    np.testing.assert_array_equal(
+        PackedHeadPose(d).get_batch([0])["img_raw"][0], other[0]["img_raw"])
+
+
 def test_packed_loader_throughput_sanity(tmp_path):
     """The point of packing: per-batch cost is a memmap gather.  Just
     assert it is far faster than per-sample rendering (>20x here)."""
