@@ -29,8 +29,13 @@ scripts/train_auto_resume.sh $COMMON --exp_name sup_224 \
   --stage1_iteration 30000 --max_iteration 30000 --save_frequency 100000
 fi
 
+# --scan_chunk 8: SSL steps are ~74 ms device-side; chunking 8 per
+# dispatch amortizes the relay's ~32 ms/dispatch host floor.
+# --ckpt_frequency 2000: the rolling `latest` save is a ~45 s full-state
+# D2H fetch; at val_frequency 500 it would dominate wall time.  Crash
+# recovery then costs <=2000 iters; RSS-recycle exits still save first.
 scripts/train_auto_resume.sh $COMMON --exp_name ssl_224 \
-  --stage2_lr_scale 1.0 \
+  --scan_chunk 8 --ckpt_frequency 2000 --stage2_lr_scale 1.0 \
   --stage1_iteration 20000 --max_iteration 40000 --save_frequency 1000 \
   --dynamic_thres true --sweep_after_warmup true --left_ratio 0.35 \
   --conf_thres -5.3 --rotate_aug true --cutout_aug true --cutmix_aug true \

@@ -587,15 +587,26 @@ def main(argv=None):
                         json.dump({"err": err, "iter": it}, f)
                     logger.line(f"saved best (err {err:.4f})")
                 # Rolling crash-recovery checkpoint: a hang/kill loses at
-                # most val_frequency iterations (resume via --cont_ckpt
-                # <exp>/<date>/latest; restores net+EMA+optimizer+clock).
-                save_checkpoint(config.model_dir, "latest",
-                                jax.device_get(state))
+                # most ckpt_frequency (default val_frequency) iterations
+                # (resume via --cont_ckpt <exp>/<date>/latest; restores
+                # net+EMA+optimizer+clock).  Each save costs a full-state
+                # D2H fetch (~45 s at EffNetV2-S size through the relay),
+                # so --ckpt_frequency decouples it from frequent vals.
+                saved_latest = (not config.ckpt_frequency
+                                or it % config.ckpt_frequency == 0)
+                if saved_latest:
+                    save_checkpoint(config.model_dir, "latest",
+                                    jax.device_get(state))
                 if config.max_rss_gb and _rss_gb() > config.max_rss_gb:
                     # Voluntary restart point: the axon relay leaks host
                     # staging per H2D transfer (parallel/mesh.py docstring);
                     # exit 75 (EX_TEMPFAIL) tells train_auto_resume.sh to
-                    # relaunch from `latest` with a fresh process.
+                    # relaunch from `latest` with a fresh process.  Make
+                    # the restart lossless even when this val skipped the
+                    # rolling save.
+                    if not saved_latest:
+                        save_checkpoint(config.model_dir, "latest",
+                                        jax.device_get(state))
                     logger.line(
                         f"host RSS {_rss_gb():.1f} GB > --max_rss_gb "
                         f"{config.max_rss_gb:g}: exiting 75 for auto-resume")

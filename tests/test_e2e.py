@@ -262,3 +262,23 @@ def test_device_views_train(exp_dir):
         ARGS + ["--exp_dir", exp_dir, "--device_views", "true",
                 "--exp_name", "dv"])
     assert np.isfinite(best_err) and best_err < 360
+
+
+@pytest.mark.e2e
+def test_ckpt_frequency_decouples_latest_saves(exp_dir):
+    """--ckpt_frequency 8 with vals at 6 and 12 (neither divisible by 8):
+    every rolling `latest` save is skipped — only `best` (val-driven) and
+    the final `last` are written.  The default (0 = every val) is
+    exercised by every other e2e run here."""
+    from semiuhpe_tpu.cli import train as train_cli
+
+    best_err = train_cli.main(
+        ARGS + ["--exp_dir", exp_dir, "--exp_name", "ckfreq",
+                "--ckpt_frequency", "8"])
+    assert np.isfinite(best_err)
+    seen = set()
+    for root, dirs, _files in os.walk(os.path.join(exp_dir, "ckfreq")):
+        if root.endswith("/model"):
+            seen.update(dirs)
+    assert "latest" not in seen, seen
+    assert {"best", "last"} <= seen, seen
