@@ -53,7 +53,12 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
 
     for i in range(min(args.n, len(ds))):
-        s = ds[i]
+        s = dict(ds[i])
+        # Raw-views datasets (--device_views) carry uint8 img_raw instead
+        # of a normalized img; normalize so the overlay path is uniform.
+        if "img" not in s and "img_raw" in s:
+            from semiuhpe_tpu.ops.views import batch_images
+            s["img"] = np.asarray(batch_images(s))
         panels = []
         if "rot_mat" in s:
             panels.append(_axes_overlay(s["img"], s["rot_mat"]))

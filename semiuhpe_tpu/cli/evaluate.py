@@ -66,7 +66,10 @@ def run_eval(config, state, net, test_loader, mesh, use_ema: bool, grids9):
 
     for batch in test_loader:
         batch, n_valid = pad_to(batch, config.eval_batch_size)
-        pred = forward(state, shard_batch(mesh, batch)["img"])
+        # device_views configs yield raw uint8 crops with no "img" key;
+        # batch_images normalizes them (test transform = plain normalize).
+        from semiuhpe_tpu.ops.views import batch_images
+        pred = forward(state, batch_images(shard_batch(mesh, batch)))
         all_pred.append(np.asarray(pred)[:n_valid])
         all_gt.append(batch["rot_mat"][:n_valid])
         if "euler_angles" in batch:

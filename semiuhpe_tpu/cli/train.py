@@ -91,13 +91,9 @@ def save_visual_fixtures(log_dir, batch, prefix, limit=10):
 def ulb_entropy_images(batch):
     """The image tensor the dynamic-threshold sweep scores: the weak view,
     or (device_views mode) the normalized raw crop."""
-    if "img" in batch:
-        return batch["img"]
-    from semiuhpe_tpu.ops.views import normalize_u8
+    from semiuhpe_tpu.ops.views import batch_images
 
-    import jax.numpy as _jnp
-
-    return normalize_u8(_jnp.asarray(batch["img_raw"]))
+    return batch_images(batch)
 
 
 def pad_to(batch, size):
@@ -234,18 +230,26 @@ def main(argv=None):
         assert config.device_views, "--packed_cache requires --device_views"
         from semiuhpe_tpu.data.packed import (PackedHeadPose, is_packed,
                                               pack_dataset)
-        d = os.path.join(config.packed_cache,
-                         f"{name}_{phase}_s{config.input_size}")
+        # Content-addressed cache dir: the source dataset's fingerprint
+        # (split/seed/size identity, data/datasets/base.py) is hashed into
+        # the path, so a changed config lands in a *different* dir — no
+        # in-place repacking, no reader-vs-repacker races.  Fingerprint-
+        # less datasets (real data: identity = files on disk) fall back
+        # to the name/phase/size key plus a length check.
+        fp = getattr(ds, "fingerprint", None)
+        key = f"{name}_{phase}_s{config.input_size}"
+        if fp is not None:
+            import hashlib
+            key += "_" + hashlib.md5(fp.encode()).hexdigest()[:8]
+        d = os.path.join(config.packed_cache, key)
         if not is_packed(d):
             logger.line(f"packing {name}/{phase} -> {d} (one-time)")
             pack_dataset(ds, d)
         packed = PackedHeadPose(d)
-        fp = getattr(ds, "fingerprint", None)
-        if len(packed) != len(ds) or (
-                fp is not None and packed.fingerprint is not None
-                and packed.fingerprint != fp):
-            # The cache dir was built from a different split/seed/config
-            # (the path key encodes only name/phase/size); rebuild it.
+        if len(packed) != len(ds) or (fp is not None
+                                      and packed.fingerprint != fp):
+            # Unreachable for fingerprinted datasets short of a hash
+            # collision; guards legacy/fingerprint-less dirs.
             logger.line(f"packed cache {d} is stale; repacking")
             pack_dataset(ds, d)
             packed = PackedHeadPose(d)
@@ -441,6 +445,7 @@ def main(argv=None):
     # Host-side iteration mirror of state.step: avoids a device round-trip
     # (and dispatch serialization) every step.
     it = int(jax.device_get(state.step))
+    last_latest_it = it  # rolling-save interval anchor (--ckpt_frequency)
 
     while it < config.max_iteration:
         data_iter = (epoch_indices(len(train_set), batch, config.seed, epoch)
@@ -592,11 +597,15 @@ def main(argv=None):
                 # net+EMA+optimizer+clock).  Each save costs a full-state
                 # D2H fetch (~45 s at EffNetV2-S size through the relay),
                 # so --ckpt_frequency decouples it from frequent vals.
+                # Interval (not modulo) so any --ckpt_frequency value
+                # bounds recovery loss even when it doesn't divide the
+                # val boundaries it is checked at.
                 saved_latest = (not config.ckpt_frequency
-                                or it % config.ckpt_frequency == 0)
+                                or it - last_latest_it >= config.ckpt_frequency)
                 if saved_latest:
                     save_checkpoint(config.model_dir, "latest",
                                     jax.device_get(state))
+                    last_latest_it = it
                 if config.max_rss_gb and _rss_gb() > config.max_rss_gb:
                     # Voluntary restart point: the axon relay leaks host
                     # staging per H2D transfer (parallel/mesh.py docstring);

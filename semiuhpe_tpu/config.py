@@ -97,12 +97,12 @@ def build_parser(phase: str) -> argparse.ArgumentParser:
     p.add_argument("--val_frequency", type=int, default=1000)
     p.add_argument("--save_frequency", type=int, default=10000)
     p.add_argument("--ckpt_frequency", type=int, default=0,
-                   help="iterations between rolling `latest` crash-recovery "
-                        "checkpoints (checked at val boundaries, so use a "
-                        "multiple of --val_frequency); 0 = every val.  On a "
-                        "relay-attached TPU each save costs a full-state D2H "
-                        "fetch (~tens of seconds), which dominates wall time "
-                        "when vals are frequent.")
+                   help="minimum iterations between rolling `latest` "
+                        "crash-recovery checkpoints (interval-checked at "
+                        "val boundaries, so any value works); 0 = every "
+                        "val.  On a relay-attached TPU each save costs a "
+                        "full-state D2H fetch (~tens of seconds), which "
+                        "dominates wall time when vals are frequent.")
 
     # SSL
     p.add_argument("--SSL_lambda", type=float, default=1.0)

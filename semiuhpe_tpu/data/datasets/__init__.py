@@ -62,5 +62,10 @@ def get_dataset(name: str, phase: str, config):
             # the set becomes packable/stageable as uint8.
             raw_views=(phase in ("train", "train_all", "ulb_train", "test")
                        and getattr(config, "device_views", False)),
+            # Test transform is deterministic (plain normalize) in BOTH
+            # modes: with device_views the raw crop is normalized on
+            # device; without, eval_transform skips the stochastic weak
+            # view so metrics agree across the flag.
+            eval_transform=(phase == "test"),
         )
     raise NotImplementedError(f"unknown dataset {name}")

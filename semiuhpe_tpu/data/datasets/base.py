@@ -87,7 +87,7 @@ class SyntheticHeadPose:
     def __init__(self, n: int = 512, augment_strong: bool = False,
                  rotate_aug: bool = False, full_range: bool = False,
                  seed: int = 0, size: int = CROP_SIZE, offset: int = 0,
-                 raw_views: bool = False):
+                 raw_views: bool = False, eval_transform: bool = False):
         """``offset`` shifts the pose-index space so labeled (phase 'train')
         and unlabeled (phase 'ulb_train') splits are disjoint — the
         semi-supervised label-scarce regime of the reference's ss_ratio
@@ -98,6 +98,7 @@ class SyntheticHeadPose:
         self.rotate_aug = rotate_aug
         self.size = size
         self.raw_views = raw_views
+        self.eval_transform = eval_transform
         total = n + offset
         base = np.random.default_rng(seed)
         lim = 179.0 if full_range else 75.0
@@ -132,6 +133,21 @@ class SyntheticHeadPose:
                 "rot_mat": rot.astype(np.float32),
                 "euler_angles": np.asarray([pitch, yaw, roll], np.float32),
                 "img_raw": np.asarray(img, np.uint8),
+            }
+        if self.eval_transform:
+            # Deterministic test transform: plain normalize of the raw
+            # render — identical to what the device-views eval path does
+            # with img_raw, so metrics are comparable across the
+            # --device_views flag (the reference applies no stochastic
+            # views at test either).
+            from semiuhpe_tpu.ops.views import IMAGENET_MEAN, IMAGENET_STD
+            arr = np.asarray(img, np.float32) / 255.0
+            return {
+                "idx": np.int32(idx),
+                "rot_mat": rot.astype(np.float32),
+                "euler_angles": np.asarray([pitch, yaw, roll], np.float32),
+                "img": ((arr - IMAGENET_MEAN) / IMAGENET_STD).astype(
+                    np.float32),
             }
         weak, strong, rot_angle = weak_strong_views(
             rng, img, augment_strong=self.augment_strong,

@@ -74,13 +74,21 @@ def pack_dataset(dataset, out_dir: str, size: Optional[int] = None,
             print(f"packed {i + 1}/{n}", flush=True)
     imgs.flush()
     del imgs
-    np.savez(os.path.join(out_dir, _LABELS),
-             **{k: np.stack(v) for k, v in labels.items()})
-    with open(os.path.join(out_dir, _META), "w") as f:
+    labels_tmp = os.path.join(out_dir, f"{_LABELS}.{os.getpid()}.tmp")
+    with open(labels_tmp, "wb") as f:
+        np.savez(f, **{k: np.stack(v) for k, v in labels.items()})
+    os.replace(labels_tmp, os.path.join(out_dir, _LABELS))
+    meta_tmp = os.path.join(out_dir, f"{_META}.{os.getpid()}.tmp")
+    with open(meta_tmp, "w") as f:
         json.dump({"n": n, "size": s, "labeled": sorted(labels),
                    "fingerprint": getattr(dataset, "fingerprint", None)}, f)
+    os.replace(meta_tmp, os.path.join(out_dir, _META))
     # Publish the images last: is_packed() keys off _IMGS + _META, so a
-    # reader can never see the images without their labels/meta.
+    # reader can never see the images without their labels/meta.  (This
+    # ordering is airtight for a fresh dir — the normal case, since cache
+    # dirs are content-addressed by dataset fingerprint upstream; racing
+    # same-dir packers write identical bytes, so replace order between
+    # them is immaterial.)
     os.replace(tmp_path, imgs_path)
     return out_dir
 

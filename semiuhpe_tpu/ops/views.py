@@ -48,6 +48,17 @@ def normalize_u8(imgs: jnp.ndarray) -> jnp.ndarray:
     return (imgs.astype(jnp.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
 
 
+def batch_images(batch) -> jnp.ndarray:
+    """The network-ready image tensor of a batch: the host-prepared
+    ``img``, or — raw-views mode (``--device_views``, packed/staged
+    pools) — the uint8 ``img_raw`` crop normalized here.  Every consumer
+    of eval/sweep batches must go through this (a raw-views batch has no
+    ``img`` key at all)."""
+    if "img" in batch:
+        return jnp.asarray(batch["img"])
+    return normalize_u8(jnp.asarray(batch["img_raw"]))
+
+
 def _resample_bilinear(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
     """Sample img (S, S, C) float at fractional coords ys/xs (H, W); zero
     fill outside."""

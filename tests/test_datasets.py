@@ -304,6 +304,26 @@ class TestSyntheticDispatch:
         ulb_set = {tuple(e) for e in np.round(ulb.eulers, 4)}
         assert not (lab_set & ulb_set)
 
+    def test_test_transform_deterministic_across_device_views(self):
+        """The test phase applies the same deterministic transform in
+        both modes: host path = normalize(raw render); device path ships
+        img_raw which the eval step normalizes identically.  (Before this
+        the host path applied the stochastic weak view — blur + RRC — so
+        eval metrics shifted with --device_views.)"""
+        from semiuhpe_tpu.data.datasets import get_dataset
+        from semiuhpe_tpu.ops.views import batch_images
+        host = get_dataset("synthetic", "test", self._cfg())
+        dev = get_dataset("synthetic", "test",
+                          self._cfg(device_views=True))
+        for i in (0, 7):
+            a, b = host[i], dev[i]
+            assert "img" in a and "img_raw" in b and "img" not in b
+            np.testing.assert_allclose(
+                a["img"], np.asarray(batch_images(b)), atol=1e-5)
+            np.testing.assert_array_equal(a["rot_mat"], b["rot_mat"])
+        # repeated reads are bit-identical (no stochastic views)
+        np.testing.assert_array_equal(host[3]["img"], host[3]["img"])
+
     def test_test_size_decoupled_from_pool(self):
         """--synthetic_test_size keeps eval cost flat when the unlabeled
         pool grows (0 = legacy behavior: test n == synthetic_size)."""

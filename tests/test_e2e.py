@@ -266,15 +266,17 @@ def test_device_views_train(exp_dir):
 
 @pytest.mark.e2e
 def test_ckpt_frequency_decouples_latest_saves(exp_dir):
-    """--ckpt_frequency 8 with vals at 6 and 12 (neither divisible by 8):
-    every rolling `latest` save is skipped — only `best` (val-driven) and
+    """--ckpt_frequency 100 > max_iteration: every rolling `latest` save
+    is skipped (interval never elapses) — only `best` (val-driven) and
     the final `last` are written.  The default (0 = every val) is
-    exercised by every other e2e run here."""
+    exercised by every other e2e run here; the interval check means any
+    value bounds recovery loss even when it doesn't divide
+    val_frequency."""
     from semiuhpe_tpu.cli import train as train_cli
 
     best_err = train_cli.main(
         ARGS + ["--exp_dir", exp_dir, "--exp_name", "ckfreq",
-                "--ckpt_frequency", "8"])
+                "--ckpt_frequency", "100"])
     assert np.isfinite(best_err)
     seen = set()
     for root, dirs, _files in os.walk(os.path.join(exp_dir, "ckfreq")):
