@@ -9,9 +9,12 @@ per-sample IPC entirely:
 * every worker writes its samples directly into a preallocated
   ``multiprocessing.shared_memory`` ring of batch slots (one buffer per
   sample key), then posts the slot id back;
-* the parent yields numpy views onto the slot and recycles it after the
-  consumer moves on (one-batch grace), so steady-state cost is one
-  page-local memcpy per batch on the consumer side — none on the IPC path.
+* the parent copies the completed slot out and recycles it immediately,
+  so steady-state cost is one page-local memcpy per batch on the consumer
+  side — none on the IPC path.  (Copies, not views: ``jax.device_put`` on
+  the CPU backend ALIASES compatible host buffers — measured, a mutated
+  source changed the "device" value — so handing out live ring views
+  would corrupt batches under the depth-2 device prefetcher.)
 
 Throughput scales with worker count on multi-core hosts (this container
 exposes ONE core, so tests here validate correctness + overhead, not
@@ -59,10 +62,8 @@ class ShmLoader:
     """Iterator over batches of ``dataset`` built in worker processes.
 
     Same protocol as data.loader.Loader (len/iter -> dict of arrays).
-    Batches are yielded in submission order.  The yielded arrays are views
-    into the shared ring; they stay valid until the *next* batch is
-    requested — consume (device_put/copy) before advancing, which every
-    trainer loop and prefetcher does naturally.
+    Batches are yielded in submission order as self-owned copies (safe to
+    hold, device_put, or prefetch arbitrarily far ahead).
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
@@ -76,6 +77,8 @@ class ShmLoader:
         self.n_slots = self.num_workers * slots_per_worker
         self._rng = np.random.default_rng(seed)
         self._started = False
+        self._active = False  # an __iter__ generator currently owns the ring
+        self._inflight = 0    # tasks submitted but completion not yet read
 
         sample = dataset[0]
         self.schema = {k: (np.asarray(v).shape, np.asarray(v).dtype)
@@ -140,8 +143,7 @@ class ShmLoader:
 
     # -- iteration ---------------------------------------------------------
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        self._start()
+    def _plan(self):
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
@@ -150,37 +152,69 @@ class ShmLoader:
                    for i in range(0, n, self.batch_size)]
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
+        return batches
 
-        free = collections.deque(range(self.n_slots))
-        it = iter(batches)
-        completed: Dict[int, int] = {}  # slot -> n_valid
-        submitted: collections.deque = collections.deque()  # slot order
+    def _iter_inline(self, batches) -> Iterator[Dict[str, np.ndarray]]:
+        """Workerless fallback: correct (if slower) batches built in-process.
+        Used when another generator currently owns the shared ring — e.g.
+        the dynamic-threshold sweep iterating the unlabeled loader while the
+        training `cycle()` iterator still holds in-flight slots."""
+        for idxs in batches:
+            samples = [self.dataset[int(i)] for i in idxs]
+            yield {k: np.stack([np.asarray(s[k]) for s in samples])
+                   for k in self.schema}
 
-        def submit():
-            if not free:
-                return False
-            idxs = next(it, None)
-            if idxs is None:
-                return False
-            slot = free.popleft()
-            self._task_q.put((slot, np.asarray(idxs)))
-            submitted.append(slot)
-            return True
+    def _drain(self):
+        """Absorb completions of tasks a previous (abandoned) generator left
+        in flight.  Their workers may still be WRITING into ring slots, so
+        every outstanding task must finish before slots are reused."""
+        while self._inflight > 0:
+            self._done_q.get()
+            self._inflight -= 1
 
-        while submit():
-            pass
-        prev_slot = None
-        while submitted:
-            want = submitted.popleft()
-            while want not in completed:
-                slot, n_valid = self._done_q.get()
-                completed[slot] = n_valid
-            n_valid = completed.pop(want)
-            if prev_slot is not None:  # recycle after consumer moved on
-                free.append(prev_slot)
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        batches = self._plan()
+        if self._active:
+            # The ring is owned by a live generator (concurrent iteration,
+            # e.g. a mid-epoch sweep pass); sharing slots would corrupt
+            # batches, so build these in-process instead.
+            yield from self._iter_inline(batches)
+            return
+        self._start()
+        self._active = True
+        try:
+            self._drain()
+
+            free = collections.deque(range(self.n_slots))
+            it = iter(batches)
+            completed: Dict[int, int] = {}  # slot -> n_valid
+            submitted: collections.deque = collections.deque()  # slot order
+
+            def submit():
+                if not free:
+                    return False
+                idxs = next(it, None)
+                if idxs is None:
+                    return False
+                slot = free.popleft()
+                self._task_q.put((slot, np.asarray(idxs)))
+                self._inflight += 1
+                submitted.append(slot)
+                return True
+
+            while submit():
+                pass
+            while submitted:
+                want = submitted.popleft()
+                while want not in completed:
+                    slot, n_valid = self._done_q.get()
+                    self._inflight -= 1
+                    completed[slot] = n_valid
+                n_valid = completed.pop(want)
+                views = self._views[want]
+                batch = {k: v[:n_valid].copy() for k, v in views.items()}
+                free.append(want)  # copy taken: recycle immediately
                 submit()
-            prev_slot = want
-            views = self._views[want]
-            yield {k: v[:n_valid] for k, v in views.items()}
-        if prev_slot is not None:
-            free.append(prev_slot)
+                yield batch
+        finally:
+            self._active = False
