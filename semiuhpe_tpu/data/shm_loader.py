@@ -27,10 +27,16 @@ from __future__ import annotations
 import atexit
 import collections
 import multiprocessing as mp
+import queue as queue_mod
+import traceback
 from multiprocessing import shared_memory
 from typing import Dict, Iterator, Optional
 
 import numpy as np
+
+
+class ShmWorkerError(RuntimeError):
+    """A dataset raised inside a loader worker (traceback attached)."""
 
 
 def _worker_main(dataset, task_q, done_q, schema, shm_names, batch_size):
@@ -47,12 +53,19 @@ def _worker_main(dataset, task_q, done_q, schema, shm_names, batch_size):
                                               dtype=dtype, buffer=shm.buf)
         for task in iter(task_q.get, None):
             slot, idxs = task
-            dst = views[slot]
-            for j, i in enumerate(idxs):
-                sample = dataset[int(i)]
-                for key in schema:
-                    dst[key][j] = sample[key]
-            done_q.put((slot, len(idxs)))
+            # A dataset exception must never kill the worker silently: the
+            # parent blocks on done_q, so a missing completion is a hang.
+            # Post an error completion instead; the parent raises it.
+            try:
+                dst = views[slot]
+                for j, i in enumerate(idxs):
+                    sample = dataset[int(i)]
+                    for key in schema:
+                        dst[key][j] = sample[key]
+            except BaseException:
+                done_q.put((slot, -1, traceback.format_exc()))
+            else:
+                done_q.put((slot, len(idxs), None))
     finally:
         for shm in buffers.values():
             shm.close()
@@ -76,6 +89,11 @@ class ShmLoader:
         self.num_workers = max(1, num_workers)
         self.n_slots = self.num_workers * slots_per_worker
         self._rng = np.random.default_rng(seed)
+        # Separate stream for concurrent inline passes (mid-epoch sweeps):
+        # if they consumed self._rng, every later epoch's shuffle order
+        # would shift versus a sweep-free run (reproducibility).
+        self._inline_rng = np.random.default_rng(
+            None if seed is None else seed + 0x9E3779B9)
         self._started = False
         self._active = False  # an __iter__ generator currently owns the ring
         self._inflight = 0    # tasks submitted but completion not yet read
@@ -140,14 +158,18 @@ class ShmLoader:
             except FileNotFoundError:
                 pass
         self._started = False
+        # Workers are gone, so no in-flight completion will ever arrive;
+        # a stale count would make the next epoch's _drain() block forever
+        # on the freshly created (empty) done queue.
+        self._inflight = 0
 
     # -- iteration ---------------------------------------------------------
 
-    def _plan(self):
+    def _plan(self, rng):
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
-            self._rng.shuffle(order)
+            rng.shuffle(order)
         batches = [order[i:i + self.batch_size]
                    for i in range(0, n, self.batch_size)]
         if self.drop_last:
@@ -164,22 +186,46 @@ class ShmLoader:
             yield {k: np.stack([np.asarray(s[k]) for s in samples])
                    for k in self.schema}
 
+    def _recv(self, raise_errors: bool):
+        """One completion from done_q, with a worker-liveness watchdog: a
+        worker killed hard (OOM SIGKILL, segfault) posts nothing, so a bare
+        blocking get() would hang forever.  Error completions (dataset
+        exceptions, posted by the worker itself) raise unless draining."""
+        while True:
+            try:
+                slot, n_valid, err = self._done_q.get(timeout=10)
+            except queue_mod.Empty:
+                dead = [p for p in self._procs if not p.is_alive()]
+                if dead:
+                    self._inflight = 0  # their completions will never come
+                    raise ShmWorkerError(
+                        f"{len(dead)} loader worker(s) died without posting "
+                        f"a completion (exitcodes "
+                        f"{[p.exitcode for p in dead]}); likely killed by "
+                        "the OS (OOM) or a segfault in decode.")
+                continue
+            self._inflight -= 1
+            if err is not None and raise_errors:
+                raise ShmWorkerError(f"dataset raised in loader worker:\n{err}")
+            return slot, n_valid
+
     def _drain(self):
         """Absorb completions of tasks a previous (abandoned) generator left
         in flight.  Their workers may still be WRITING into ring slots, so
-        every outstanding task must finish before slots are reused."""
+        every outstanding task must finish before slots are reused.  Errors
+        from the abandoned epoch are swallowed — nobody consumes its data."""
         while self._inflight > 0:
-            self._done_q.get()
-            self._inflight -= 1
+            self._recv(raise_errors=False)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        batches = self._plan()
         if self._active:
             # The ring is owned by a live generator (concurrent iteration,
             # e.g. a mid-epoch sweep pass); sharing slots would corrupt
-            # batches, so build these in-process instead.
-            yield from self._iter_inline(batches)
+            # batches, so build these in-process instead.  Uses its own RNG
+            # stream so the owning iterator's epoch sequence is unchanged.
+            yield from self._iter_inline(self._plan(self._inline_rng))
             return
+        batches = self._plan(self._rng)
         self._start()
         self._active = True
         try:
@@ -207,8 +253,7 @@ class ShmLoader:
             while submitted:
                 want = submitted.popleft()
                 while want not in completed:
-                    slot, n_valid = self._done_q.get()
-                    self._inflight -= 1
+                    slot, n_valid = self._recv(raise_errors=True)
                     completed[slot] = n_valid
                 n_valid = completed.pop(want)
                 views = self._views[want]

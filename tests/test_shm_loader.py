@@ -3,7 +3,7 @@
 import numpy as np
 import pytest
 
-from semiuhpe_tpu.data.shm_loader import ShmLoader
+from semiuhpe_tpu.data.shm_loader import ShmLoader, ShmWorkerError
 
 
 class ArithmeticDataset:
@@ -92,6 +92,77 @@ def test_shm_loader_abandoned_epoch_then_fresh_epoch():
                                            np.eye(3) * (i + 1))
     finally:
         loader.close()
+
+
+class PoisonDataset(ArithmeticDataset):
+    """Raises on one specific index (decode failure mid-epoch)."""
+
+    def __getitem__(self, i):
+        if i == 11:
+            raise ValueError("synthetic decode failure")
+        return super().__getitem__(i)
+
+
+@pytest.mark.e2e
+def test_shm_loader_close_after_abandoned_epoch_then_reiterate():
+    """close() with tasks still in flight must reset the in-flight count:
+    a fresh _start() builds new (empty) queues, so a stale count would make
+    the next epoch's _drain() block forever."""
+    ds = ArithmeticDataset(64)
+    loader = ShmLoader(ds, 8, shuffle=False, drop_last=True, num_workers=2)
+    try:
+        it1 = iter(loader)
+        next(it1)      # several tasks in flight
+        it1.close()    # abandon
+        loader.close()  # workers join; completions are gone with the queues
+        for batch in loader:  # previously: hang in _drain()
+            np.testing.assert_array_equal(batch["img_raw"][:, 0, 0, 0],
+                                          batch["idx"] % 251)
+    finally:
+        loader.close()
+
+
+@pytest.mark.e2e
+def test_shm_loader_dataset_exception_raises_not_hangs():
+    ds = PoisonDataset(32)
+    loader = ShmLoader(ds, 8, shuffle=False, drop_last=True, num_workers=2)
+    try:
+        with pytest.raises(ShmWorkerError, match="synthetic decode failure"):
+            for _ in loader:
+                pass
+    finally:
+        loader.close()
+
+
+@pytest.mark.e2e
+def test_shm_loader_inline_sweep_does_not_shift_epoch_order():
+    """A mid-epoch concurrent (inline) pass uses its own RNG stream, so the
+    main iterator's epoch-to-epoch shuffle sequence matches a sweep-free
+    run exactly (reproducibility under dynamic-threshold sweeps)."""
+    def epoch_orders(with_sweep):
+        ds = ArithmeticDataset(32)
+        loader = ShmLoader(ds, 8, shuffle=True, drop_last=True,
+                           num_workers=1, seed=7)
+        try:
+            orders = []
+            for _ in range(3):
+                it = iter(loader)
+                first = next(it)
+                got = [first["idx"].copy()]
+                if with_sweep:
+                    sweep = [b["idx"].copy() for b in loader]
+                    assert sorted(np.concatenate(sweep).tolist()) == \
+                        list(range(32))
+                got += [b["idx"].copy() for b in it]
+                orders.append(np.concatenate(got))
+            return orders
+        finally:
+            loader.close()
+
+    plain = epoch_orders(with_sweep=False)
+    swept = epoch_orders(with_sweep=True)
+    for a, b in zip(plain, swept):
+        np.testing.assert_array_equal(a, b)
 
 
 @pytest.mark.e2e
