@@ -88,12 +88,33 @@ def save_visual_fixtures(log_dir, batch, prefix, limit=10):
         cv2.imwrite(path, denormalize(img)[:, :, ::-1])
 
 
-def ulb_entropy_images(batch):
-    """The image tensor the dynamic-threshold sweep scores: the weak view,
-    or (device_views mode) the normalized raw crop."""
-    from semiuhpe_tpu.ops.views import batch_images
+_weak_view_jit = None
 
-    return batch_images(batch)
+
+def ulb_entropy_images(batch, rng=None):
+    """The image tensor the dynamic-threshold sweep (and save_feat dump)
+    scores: the host weak view, or — raw-crop modes (--device_views) — a
+    freshly-sampled ON-DEVICE weak view of the raw crop.  Parity: the
+    reference sweep iterates the unlabeled loader, whose batches are
+    weak-augmented (agent.py:386-391); scoring the raw crop instead would
+    shift the entropy distribution and so the quantile threshold."""
+    import jax as _jax
+
+    if "img" in batch:
+        return jnp.asarray(batch["img"])
+    global _weak_view_jit
+    if _weak_view_jit is None:
+        from semiuhpe_tpu.ops.views import weak_view_images
+        _weak_view_jit = _jax.jit(weak_view_images)
+    assert rng is not None, "raw-crop sweep batches need a view rng"
+    return _weak_view_jit(rng, jnp.asarray(batch["img_raw"]))
+
+
+def sweep_keys(seed: int, it: int):
+    """Deterministic per-batch view keys for one dynamic-threshold sweep
+    (stream disjoint from the train-step keys, which use seed*1_000_003+it)."""
+    return (jax.random.key((seed + 0x5EED) * 1_000_003 + it + 7919 * j)
+            for j in itertools.count())
 
 
 def pad_to(batch, size):
@@ -322,8 +343,11 @@ def main(argv=None):
 
     # ----- model/state -----
     net = build_network(config.network, num_outputs=config.num_classes, dtype=dtype)
-    grids9 = (grids_as_device_matrix(2) if config.distribution == "RotationLaplace"
-              else None)
+    grids9 = (grids_as_device_matrix(config.rl_grid_level, config.rl_grid_mode)
+              if config.distribution == "RotationLaplace" else None)
+    if grids9 is not None:
+        logger.line(f"[RotationLaplace] grid level {config.rl_grid_level} "
+                    f"mode {config.rl_grid_mode}: {grids9.shape[0]} points")
     with jax.default_device(jax.devices()[0]):
         state = jax.jit(
             lambda k: create_train_state(net, k, (config.input_size, config.input_size, 3), config.lr, dtype)
@@ -405,18 +429,22 @@ def main(argv=None):
     entropy_fn = jit_with_mesh(steps_mod.make_entropy_fn(net, use_ema=True),
                                mesh)
     if dd:
-        from semiuhpe_tpu.ops.views import normalize_u8
+        from semiuhpe_tpu.ops.views import weak_view_images
         from semiuhpe_tpu.parallel.mesh import replicated
 
         _ent_inner = steps_mod.make_entropy_fn(net, use_ema=True)
 
-        def _entropy_pooled(state, pools, idx):
-            img = normalize_u8(jnp.take(pools["img_raw"], idx, axis=0))
+        def _entropy_pooled(state, pools, idx, rng):
+            # Weak view sampled in-program: the sweep scores the same
+            # distribution the training mask sees (reference parity,
+            # agent.py:386-391 — the sweep's loader batches are weak views).
+            img = weak_view_images(rng, jnp.take(pools["img_raw"], idx, axis=0))
             return _ent_inner(state, img)
 
+        repl_sh = replicated(mesh)
         entropy_pool = jit_with_mesh(
             _entropy_pooled, mesh,
-            in_shardings=(replicated(mesh), replicated(mesh), idx_sh))
+            in_shardings=(repl_sh, repl_sh, idx_sh, repl_sh))
     feature_fn = (jit_with_mesh(
         steps_mod.make_feature_entropy_fn(net, use_ema=True), mesh)
         if config.save_feat else None)
@@ -639,6 +667,7 @@ def main(argv=None):
                         # Same quantile semantics as dynamic_entropy_threshold
                         # but scored by in-program pool gathers (no H2D).
                         chunk = config.eval_batch_size
+                        keys = sweep_keys(config.seed, it)
                         ents = []
                         for start in range(0, len(ulb_set), chunk):
                             idx = np.arange(start,
@@ -649,16 +678,19 @@ def main(argv=None):
                                     [idx, np.full(chunk - nv, idx[-1])])
                             e = entropy_pool(
                                 state, ulb_pool.arrays,
-                                jax.device_put(idx.astype(np.int32), idx_sh))
+                                jax.device_put(idx.astype(np.int32), idx_sh),
+                                next(keys))
                             ents.append(np.asarray(e)[:nv])
                         e = np.sort(np.concatenate(ents))
                         index = int(len(e) * config.left_ratio)
                         conf_thres = float(e[min(index, len(e) - 1)])
                     else:
+                        keys = sweep_keys(config.seed, it)
                         conf_thres = steps_mod.dynamic_entropy_threshold(
                             lambda st, img: entropy_fn(st, jax.device_put(img)),
                             state,
-                            ({"img": ulb_entropy_images(b)} for b in ulb_loader),
+                            ({"img": ulb_entropy_images(b, k)}
+                             for b, k in zip(ulb_loader, keys)),
                             config.left_ratio)
                     logger.log("settings", it, {"conf_thres": conf_thres})
                 if feature_fn is not None:
@@ -667,9 +699,10 @@ def main(argv=None):
                     import json as _json
 
                     feats = {}
-                    for b in ulb_loader:
+                    fkeys = sweep_keys(config.seed + 1, it)
+                    for b, k in zip(ulb_loader, fkeys):
                         e, f = feature_fn(
-                            state, jax.device_put(ulb_entropy_images(b)))
+                            state, jax.device_put(ulb_entropy_images(b, k)))
                         for bi, ei, fi in zip(b["idx"], np.asarray(e),
                                               np.asarray(f)):
                             feats[str(int(bi))] = [fi.tolist(), float(ei)]

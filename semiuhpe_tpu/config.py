@@ -114,6 +114,17 @@ def build_parser(phase: str) -> argparse.ArgumentParser:
     p.add_argument("--type_unsuper", type=str, default="ce", choices=["ce", "nll"])
     p.add_argument("--distribution", type=str, default="matrixFisher",
                    choices=["matrixFisher", "RotationLaplace"])
+    p.add_argument("--rl_grid_level", type=int, default=2,
+                   help="RotationLaplace SO(3) grid HEALPix level: 2 = 4608 "
+                        "points (the reference's active choice, "
+                        "agent.py:43-58), 3 = 36864, 4 = 294912 (generated, "
+                        "not loaded from .npy blobs)")
+    p.add_argument("--rl_grid_mode", type=str, default="full",
+                   choices=["full", "front", "large", "half"],
+                   help="RotationLaplace grid range filter (reference "
+                        "filter_grids.py subsets: front <90deg of the "
+                        "frontal basis ~18%%, large <100deg ~24%%, half "
+                        "<median 50%%)")
     p.add_argument("--dynamic_thres", type=str2bool, default=False)
     p.add_argument("--sweep_after_warmup", type=str2bool, default=False,
                    help="delay the first dynamic-threshold sweep by one "

@@ -411,8 +411,15 @@ class RegressionHead(nn.Module):
     def __call__(self, x, train: bool = True):
         kinit = nn.initializers.normal(stddev=0.01)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        for h in self.hidden:
+        for i, h in enumerate(self.hidden):
             x = nn.Dense(h, kernel_init=kinit, dtype=self.dtype)(x)
+            if i == len(self.hidden) - 1:
+                # Explicit handle on the penultimate feature (the last
+                # hidden Dense's pre-BN output) — what the reference's
+                # save_feat forward hook captures (agent.py:376-381, e.g.
+                # 'fc.4').  Sown here so consumers never have to guess the
+                # head's position or Dense nesting from intermediates.
+                self.sow("intermediates", "penultimate_feature", x)
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.9,
@@ -421,5 +428,7 @@ class RegressionHead(nn.Module):
                 axis_name=self.axis_name if train else None,
             )(x)
             x = relu6(x)
+        if not self.hidden:
+            self.sow("intermediates", "penultimate_feature", x)
         x = nn.Dense(self.num_outputs, kernel_init=kinit, dtype=jnp.float32)(x)
         return x

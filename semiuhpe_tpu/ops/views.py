@@ -59,6 +59,17 @@ def batch_images(batch) -> jnp.ndarray:
     return normalize_u8(jnp.asarray(batch["img_raw"]))
 
 
+def weak_view_images(rng: jax.Array, base_u8: jnp.ndarray) -> jnp.ndarray:
+    """One freshly-sampled normalized weak view per raw uint8 crop.
+
+    What the dynamic-threshold sweep must score in raw-crop modes: the
+    reference sweep iterates the unlabeled loader, whose batches are
+    *weak-augmented* (compute_dynamic_entropy_threshold, agent.py:386-391)
+    — scoring the un-augmented raw crop instead shifts the entropy
+    distribution and therefore the quantile threshold."""
+    return make_views(rng, base_u8, base_u8.shape[1], make_strong=False)["img"]
+
+
 def _resample_bilinear(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
     """Sample img (S, S, C) float at fractional coords ys/xs (H, W); zero
     fill outside."""

@@ -407,34 +407,36 @@ def make_entropy_fn(net, use_ema: bool = True) -> Callable:
 def make_feature_entropy_fn(net, use_ema: bool = True) -> Callable:
     """Teacher entropy + penultimate head feature per sample — the
     ``save_feat`` t-SNE dump capability (reference registers a forward hook
-    on the second-to-last head Linear, agent.py:369-401).  Here flax
-    ``capture_intermediates`` records the head's Dense outputs and we take
-    the second-to-last one."""
-    import flax.linen as nn
+    on the second-to-last head Linear, agent.py:369-401).
+
+    The feature is the explicit ``penultimate_feature`` handle that
+    models.layers.RegressionHead sows into the ``intermediates``
+    collection — no guessing at module names or Dense nesting; a backbone
+    whose head lacks the handle (or that somehow exposes two heads) fails
+    loudly here rather than silently dumping the wrong layer."""
 
     def fn(state: TrainState, img):
         params = state.ema_params if use_ema else state.params
         stats = state.ema_batch_stats if use_ema else state.batch_stats
         out, mod = net.apply(
             {"params": params, "batch_stats": stats}, img, train=False,
-            capture_intermediates=lambda mdl, _: isinstance(mdl, nn.Dense),
             mutable=["intermediates"])
-        inter = mod["intermediates"]
 
-        def find_head(tree):
+        def find_feats(tree, hits):
             for k, v in tree.items():
-                if "RegressionHead" in k:
-                    return v
-                if isinstance(v, dict):
-                    found = find_head(v)
-                    if found is not None:
-                        return found
-            return None
+                if k == "penultimate_feature":
+                    hits.append(v)
+                elif isinstance(v, dict):
+                    find_feats(v, hits)
+            return hits
 
-        head = find_head(inter) or inter
-        dense_keys = sorted(k for k in head if k.startswith("Dense"))
-        feat_key = dense_keys[-2] if len(dense_keys) >= 2 else dense_keys[-1]
-        feat = head[feat_key]["__call__"][0]
+        hits = find_feats(mod.get("intermediates", {}), [])
+        if len(hits) != 1:
+            raise ValueError(
+                f"expected exactly one sown penultimate_feature, found "
+                f"{len(hits)} — does this backbone's head use "
+                "models.layers.RegressionHead?")
+        feat = hits[0][0]  # sow stores a tuple of sown values
         return fisher.fisher_entropy(out), feat
 
     return fn

@@ -104,6 +104,64 @@ class TestFeatureCapture:
         # tiny head: hidden (32,) -> penultimate Dense output is 32-dim.
         assert f.shape == (4, 32)
 
+    def test_nested_dense_backbone_still_finds_head_feature(self):
+        """The feature comes from RegressionHead's explicit sown handle —
+        a backbone with its own (nested, non-head) Dense layers must not
+        confuse it (round-2 fragility: name-substring + sorted-Dense
+        indexing)."""
+        import flax.linen as nn
+        import jax
+        import jax.numpy as jnp
+
+        from semiuhpe_tpu.models.layers import RegressionHead
+        from semiuhpe_tpu.training import steps as steps_mod
+        from semiuhpe_tpu.training.state import create_train_state
+
+        class SEBlock(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                # Two nested non-head Dense layers (an SE-style gate).
+                s = nn.Dense(8)(x)
+                s = nn.Dense(x.shape[-1])(nn.relu(s))
+                return x * nn.sigmoid(s)
+
+        class NestedNet(nn.Module):
+            @nn.compact
+            def __call__(self, x, train: bool = True):
+                x = jnp.mean(x, axis=(1, 2))
+                x = nn.Dense(24)(x)     # trunk Dense
+                x = SEBlock()(x)        # nested Dense pair
+                return RegressionHead((48, 12), 9)(x, train)
+
+        net = NestedNet()
+        state = create_train_state(net, jax.random.key(0), (8, 8, 3), 1e-3)
+        e, f = jax.jit(steps_mod.make_feature_entropy_fn(net))(
+            state, jnp.zeros((2, 8, 8, 3)))
+        # Must be the head's LAST hidden Dense (12), not the trunk (24),
+        # the SE gates (8/24), or the head's first hidden (48).
+        assert f.shape == (2, 12)
+        assert e.shape == (2,)
+
+    def test_headless_backbone_fails_loudly(self):
+        import flax.linen as nn
+        import jax
+        import jax.numpy as jnp
+        import pytest
+
+        from semiuhpe_tpu.training import steps as steps_mod
+        from semiuhpe_tpu.training.state import create_train_state
+
+        class NoHead(nn.Module):
+            @nn.compact
+            def __call__(self, x, train: bool = True):
+                return nn.Dense(9)(jnp.mean(x, axis=(1, 2)))
+
+        net = NoHead()
+        state = create_train_state(net, jax.random.key(0), (8, 8, 3), 1e-3)
+        with pytest.raises(ValueError, match="penultimate_feature"):
+            steps_mod.make_feature_entropy_fn(net)(
+                state, jnp.zeros((2, 8, 8, 3)))
+
 
 class TestProcessLoader:
     def test_process_pool_batches(self):

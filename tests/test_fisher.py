@@ -254,6 +254,21 @@ class TestLaplace:
         ang = np.degrees(np.arccos(np.clip((max_tr - 1) / 2, -1, 1)))
         assert np.all(ang < 15.0)
 
+    def test_level3_filter_fractions(self):
+        """Range-filtered level-3 subsets match the reference's published
+        fractions (agent.py:47-56: front 6656/36864 ~18%, large 8872 ~24%,
+        half 18432 = 50%)."""
+        g = laplace.so3_healpix_grid(level=3)
+        n = len(g)
+        assert n == 36864
+        front = len(laplace.filter_grids(g, "front")) / n
+        large = len(laplace.filter_grids(g, "large")) / n
+        half = len(laplace.filter_grids(g, "half")) / n
+        assert abs(front - 6656 / 36864) < 0.02
+        assert abs(large - 8872 / 36864) < 0.02
+        assert abs(half - 0.5) < 1e-3
+        assert laplace.grids_as_device_matrix(3, "front").shape[1] == 9
+
     def test_laplace_pdf_normalizes(self, rng):
         """Integral of exp(log_pdf) over the grid (Haar weight 1/N) = 1."""
         a = jnp.asarray(random_rotations(rng, 2)) * 3.0

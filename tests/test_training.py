@@ -241,6 +241,27 @@ class TestDynamicThreshold:
         assert e.shape == (8,)
         assert np.isfinite(np.asarray(e)).all()
 
+    def test_raw_crop_sweep_scores_weak_view(self, rng):
+        """Reference parity (agent.py:386-391): the dynamic-threshold sweep
+        scores WEAK VIEWS, not raw crops.  In raw-crop (--device_views)
+        modes ulb_entropy_images must therefore sample a weak view on
+        device — identical to the train step's view generator — rather
+        than just normalizing img_raw (the round-2 deviation)."""
+        from semiuhpe_tpu.cli.train import ulb_entropy_images
+        from semiuhpe_tpu.ops.views import normalize_u8, weak_view_images
+
+        raw = (rng.uniform(0, 255, size=(4, 16, 16, 3))).astype(np.uint8)
+        key = jax.random.key(3)
+        got = np.asarray(ulb_entropy_images({"img_raw": raw}, key))
+        want = np.asarray(weak_view_images(key, jnp.asarray(raw)))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        plain = np.asarray(normalize_u8(jnp.asarray(raw)))
+        assert np.abs(got - plain).max() > 1e-3  # not the raw crop
+        # Host-view batches pass through untouched.
+        b = {"img": plain, "img_raw": raw}
+        np.testing.assert_array_equal(
+            np.asarray(ulb_entropy_images(b, key)), plain)
+
 
 class TestSSLSharded:
     def test_ssl_losses_match_single_device(self, net, rng):
