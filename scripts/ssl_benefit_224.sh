@@ -20,12 +20,13 @@ COMMON="--train_labeled synthetic --train_unlabeled synthetic --test_set synthet
   --network effinetv2 --input_size 224 --synthetic_size 16384 --ss_ratio 0.015625
   --synthetic_test_size 2048
   --batch_size 32 --lr 1e-4 --dtype bfloat16 --device_views true
-  --packed_cache /tmp/pack_r2_224 --device_data true
+  --packed_cache /tmp/pack_r3_224 --device_data true
   --log_frequency 400 --val_frequency 500
-  --eval_batch_size 256 --exp_dir exps_r2 --num_workers 4 --max_rss_gb 80"
+  --eval_batch_size 256 --exp_dir exps_r3 --num_workers 4 --max_rss_gb 80"
 
 if [ "${1:-}" != "ssl-only" ]; then
 scripts/train_auto_resume.sh $COMMON --exp_name sup_224 \
+  --scan_chunk 8 --ckpt_frequency 2000 \
   --stage1_iteration 30000 --max_iteration 30000 --save_frequency 100000
 fi
 
