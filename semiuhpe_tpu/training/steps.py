@@ -50,11 +50,24 @@ def error_degrees(pred_rot, gt_rot, gt_euler=None):
 
 
 def _net_forward(net, params, batch_stats, img, rng):
-    """Train-mode forward returning (output, updated batch_stats)."""
-    out, mutated = net.apply({"params": params, "batch_stats": batch_stats},
-                             img, train=True, rngs={"dropout": rng},
-                             mutable=["batch_stats"])
-    return out, mutated["batch_stats"]
+    """Train-mode forward returning (output, updated batch_stats).
+
+    SEMIUHPE_REMAT=1 wraps the apply in ``jax.checkpoint`` (full
+    rematerialization: the backward recomputes the forward instead of
+    reloading saved activations from HBM) — a measured A/B knob for the
+    backward-pass HBM-traffic hypothesis (BENCH_NOTES rejection/keep
+    table decides the default)."""
+    import os as _os
+
+    def apply(params, batch_stats, img):
+        out, mutated = net.apply({"params": params, "batch_stats": batch_stats},
+                                 img, train=True, rngs={"dropout": rng},
+                                 mutable=["batch_stats"])
+        return out, mutated["batch_stats"]
+
+    if _os.environ.get("SEMIUHPE_REMAT") == "1":
+        apply = jax.checkpoint(apply)
+    return apply(params, batch_stats, img)
 
 
 def _supervised_loss(net, params, batch_stats, batch, rng, distribution, grids9,
