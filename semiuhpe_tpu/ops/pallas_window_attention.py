@@ -41,6 +41,7 @@ gradients).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -52,9 +53,32 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _env_budget() -> int:
+    """VMEM bytes budget for the chunk cost model (A/B knob for
+    scripts/attn_probe.py; default 13 MiB leaves headroom under the
+    ~16 MiB scoped-vmem limit)."""
+    return int(float(os.environ.get("SEMIUHPE_ATTN_VMEM_MB", "13"))
+               * 2 ** 20)
+
+
+def _compiler_params(n_grid_dims: int):
+    """Optional Mosaic knobs (probe A/B): SEMIUHPE_ATTN_PAR=1 marks all
+    grid dims but the innermost `parallel` (the innermost stays
+    `arbitrary`: the bwd d_bias accumulator revisits its block across
+    it); SEMIUHPE_ATTN_VMEM_LIMIT_MB raises the scoped-vmem cap."""
+    kw = {}
+    if os.environ.get("SEMIUHPE_ATTN_PAR") == "1":
+        kw["dimension_semantics"] = (
+            ("parallel",) * (n_grid_dims - 1) + ("arbitrary",))
+    lim = os.environ.get("SEMIUHPE_ATTN_VMEM_LIMIT_MB")
+    if lim:
+        kw["vmem_limit_bytes"] = int(float(lim) * 2 ** 20)
+    return pltpu.CompilerParams(**kw) if kw else None
+
+
 def _pick_chunk(b: int, n: int, d: int, n_io: int, n_tmp: int,
                 itemsize: int = 2,
-                bytes_budget: int = 13 * 2 ** 20) -> int:
+                bytes_budget: int | None = None) -> int:
     """Largest window-chunk G dividing b whose working set fits VMEM.
 
     Mosaic pads the two minor dims of every buffer to the dtype tile
@@ -67,6 +91,8 @@ def _pick_chunk(b: int, n: int, d: int, n_io: int, n_tmp: int,
     (calibrated: fwd ~2, bwd ~4).  The 13 MiB budget leaves headroom
     under the 16 MiB scoped-vmem limit.
     """
+    if bytes_budget is None:
+        bytes_budget = _env_budget()
     io_sub = 16 if itemsize == 2 else 8
     io = _round_up(n, io_sub) * _round_up(d, 128) * itemsize
     tmp = _round_up(n, 8) * _round_up(n, 128) * 4
@@ -181,6 +207,7 @@ def _fwd(q, k, v, bias, scale, interpret):
         out_specs=qkv_spec,
         out_shape=jax.ShapeDtypeStruct((h, b, n, d), q.dtype),
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(2),
     )(q, k, v, bias)
 
 
@@ -205,6 +232,7 @@ def _bwd_rule(scale, interpret, res, do):
             jax.ShapeDtypeStruct((h, n, n), jnp.float32),
         ),
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(2),
     )(q, k, v, bias, do)
     return dq, dk, dv, dbias
 
