@@ -92,6 +92,30 @@ class TestPallasWindowAttention:
             tmp_bufs = n_tmp * g * tile_padded_bytes((n, n), 4)
             assert io_blocks + tmp_bufs <= 14 * 2 ** 20
 
+    def test_budget_env_knob_scales_chunk(self, monkeypatch):
+        """SEMIUHPE_ATTN_VMEM_MB is the probe's A/B lever on chunk size
+        (scripts/attn_probe.py H1): smaller budget -> smaller G; explicit
+        bytes_budget still wins over the env."""
+        base = _pick_chunk(2560, 49, 32, n_io=4, n_tmp=2, itemsize=2)
+        monkeypatch.setenv("SEMIUHPE_ATTN_VMEM_MB", "4")
+        small = _pick_chunk(2560, 49, 32, n_io=4, n_tmp=2, itemsize=2)
+        assert small < base
+        explicit = _pick_chunk(2560, 49, 32, n_io=4, n_tmp=2, itemsize=2,
+                               bytes_budget=13 * 2 ** 20)
+        assert explicit == base
+
+    def test_compiler_params_env_knobs(self, monkeypatch):
+        from semiuhpe_tpu.ops.pallas_window_attention import _compiler_params
+        assert _compiler_params(2) is None
+        monkeypatch.setenv("SEMIUHPE_ATTN_PAR", "1")
+        cp = _compiler_params(2)
+        assert cp.dimension_semantics == ("parallel", "arbitrary")
+        monkeypatch.setenv("SEMIUHPE_ATTN_VMEM_LIMIT_MB", "15")
+        cp = _compiler_params(3)
+        assert cp.dimension_semantics == ("parallel", "parallel",
+                                          "arbitrary")
+        assert cp.vmem_limit_bytes == 15 * 2 ** 20
+
     @pytest.mark.parametrize("h,b,n,d", [
         (2, 8, 49, 32),
         (2, 32, 196, 32),
