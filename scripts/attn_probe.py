@@ -55,7 +55,7 @@ def main():
 
     from semiuhpe_tpu.ops import pallas_window_attention as pwa
 
-    args = sys.argv[1:]
+    args = [a for a in sys.argv[1:] if a != "all"]
     stages = [a for a in args if a in STAGES] or list(STAGES)
     variants = [a for a in args if a not in STAGES] or [
         "xla", "pallas", "pallas_par", "pallas_b4", "pallas_b8",
@@ -96,11 +96,21 @@ def main():
             os.environ.pop(k, None)
         os.environ.update(env)
         try:
-            rng = np.random.default_rng(0)
-            q = jnp.asarray(rng.normal(size=(h, b, n, fn_d)), jnp.bfloat16)
-            kk = jnp.asarray(rng.normal(size=(h, b, n, fn_d)), jnp.bfloat16)
-            v = jnp.asarray(rng.normal(size=(h, b, n, fn_d)), jnp.bfloat16)
-            bias = jnp.asarray(rng.normal(size=(h, n, n)), jnp.float32)
+            compile_only = os.environ.get("BENCH_COMPILE_ONLY") == "1"
+            if compile_only:
+                # ShapeDtypeStructs: no H2D through the 35 MB/s tunnel.
+                q = jax.ShapeDtypeStruct((h, b, n, fn_d), jnp.bfloat16)
+                kk, v = q, q
+                bias = jax.ShapeDtypeStruct((h, n, n), jnp.float32)
+            else:
+                rng = np.random.default_rng(0)
+                q = jnp.asarray(rng.normal(size=(h, b, n, fn_d)),
+                                jnp.bfloat16)
+                kk = jnp.asarray(rng.normal(size=(h, b, n, fn_d)),
+                                 jnp.bfloat16)
+                v = jnp.asarray(rng.normal(size=(h, b, n, fn_d)),
+                                jnp.bfloat16)
+                bias = jnp.asarray(rng.normal(size=(h, n, n)), jnp.float32)
             scale = d ** -0.5
 
             def fwd_chain(q0, kk, v, bias):
@@ -133,6 +143,13 @@ def main():
                    "grid_fwd": steps_f, "grid_bwd": steps_b}
             for name, chain in (("fwd", fwd_chain), ("fwd_bwd", bwd_chain)):
                 f = jax.jit(chain)
+                if compile_only:
+                    # Warm the persistent compile cache through the remote
+                    # compiler WITHOUT touching the (possibly busy) TPU.
+                    t0 = time.time()
+                    f.lower(q, kk, v, bias).compile()
+                    out[f"{name}_compile_s"] = round(time.time() - t0, 1)
+                    continue
                 t0 = time.time(); _ = float(f(q, kk, v, bias))
                 comp = time.time() - t0
                 t0 = time.time(); _ = float(f(q, kk, v, bias))
