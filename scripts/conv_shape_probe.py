@@ -74,22 +74,47 @@ def main():
         "p4_s3_256_256_k2": (14, 256, 256, 2, 1),
         # stage-2 1x1 project dense lift: 768->192 @28^2 (4x FLOPs of orig)
         "s2_proj_lift_768_192": (28, 768, 192, 1, 1),
+        # EffNetV2-S depthwise stages (MBConv middle convs, @224 input):
+        # the per-pass split suspects.  6th tuple element = groups.
+        "dw_s4_512": (14, 512, 512, 3, 1, 512),
+        "dw_s5_960": (14, 960, 960, 3, 1, 960),
+        "dw_s6_1536": (7, 1536, 1536, 3, 1, 1536),
+        # TinyViT stage-1 MBConv depthwise (56^2 x 384 hidden) + the
+        # per-block local dw convs (28^2 x 192, 14^2 x 384).
+        "dw_tv_s1_384": (56, 384, 384, 3, 1, 384),
+        "dw_tv_s2_192": (28, 192, 192, 3, 1, 192),
+        "dw_tv_s3_384": (14, 384, 384, 3, 1, 384),
     }
 
-    def timeit(name, spatial, cin, cout, k, stride):
+    def timeit(name, spatial, cin, cout, k, stride, groups=1):
         rng = np.random.default_rng(0)
         x = jnp.asarray(rng.normal(size=(BATCH, spatial, spatial, cin)), dt_)
-        w = jnp.asarray(rng.normal(size=(k, k, cin, cout)) * 0.05, dt_)
+        w = jnp.asarray(
+            rng.normal(size=(k, k, cin // groups, cout)) * 0.05, dt_)
 
         def conv(w_, x_):
             pad = (k - 1) // 2
             return jax.lax.conv_general_dilated(
                 x_, w_, (stride, stride), [(pad, pad)] * 2,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=groups)
 
-        full_bwd = bool(os.environ.get("BENCH_FULLBWD"))
+        # BENCH_PASSES: fwd | wgrad (fwd+wgrad, default) | full
+        # (fwd+dgrad+wgrad).  BENCH_FULLBWD=1 is the legacy alias for
+        # full.  Successive diffs attribute the two backward convs.
+        passes = os.environ.get(
+            "BENCH_PASSES",
+            "full" if os.environ.get("BENCH_FULLBWD") else "wgrad")
+        full_bwd = passes == "full"
 
         def body(w_, key):
+            if passes == "fwd":
+                # forward only; chain w on the output so the scan can't
+                # hoist the loop-invariant conv (see BENCH_NOTES meta-
+                # lesson on hoisted fwd-only timings).
+                y = conv(w_, x)
+                l = jnp.mean(y.astype(jnp.float32) ** 2)
+                return w_ - jnp.asarray(l * 1e-12, dt_), l
             if full_bwd:
                 # differentiate wrt x too -> includes the dgrad conv
                 def loss2(wi, xi):
@@ -118,10 +143,11 @@ def main():
         dt = time.time() - t0
         ms = dt / STEPS * 1000
         out_sp = spatial // stride
-        flops_fwd = 2 * k * k * cin * cout * out_sp * out_sp * BATCH
-        tflops = 3 * flops_fwd / (dt / STEPS) / 1e12  # fwd+dgrad+wgrad
+        flops_fwd = 2 * k * k * (cin // groups) * cout * out_sp * out_sp * BATCH
+        n_conv = {"fwd": 1, "wgrad": 2, "full": 3}[passes]
+        tflops = n_conv * flops_fwd / (dt / STEPS) / 1e12
         print(json.dumps({
-            "probe": name, "ms": round(ms, 2),
+            "probe": name, "passes": passes, "ms": round(ms, 2),
             "achieved_tflops": round(tflops, 1),
             "mfu_pct": round(100 * tflops / 197, 1),
             "compile_s": round(compile_s, 1)}), flush=True)

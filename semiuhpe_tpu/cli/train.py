@@ -291,9 +291,13 @@ def main(argv=None):
             return ShmLoader(dataset, *a, **kw)
         return Loader(dataset, *a, **kw)
 
+    # Loaders get explicit per-role seeds: an unseeded Loader shuffles
+    # from OS entropy, which made short e2e runs (and any debug repro)
+    # trajectory-nondeterministic.
     train_loader = train_loader_cls(train_set, batch, shuffle=True,
                                     drop_last=True,
-                                    num_workers=config.num_workers)
+                                    num_workers=config.num_workers,
+                                    seed=config.seed * 7_368_787 + 1)
     assert len(train_loader) > 0, (
         f"labeled set ({len(train_set)} samples) smaller than one batch "
         f"({batch}); lower --batch_size or raise --ss_ratio")
@@ -306,7 +310,8 @@ def main(argv=None):
         ulb_batch = _round_up(round(config.batch_size * config.ulb_batch_ratio), n_dev)
         ulb_loader = train_loader_cls(ulb_set, ulb_batch, shuffle=True,
                                       drop_last=True,
-                                      num_workers=config.num_workers)
+                                      num_workers=config.num_workers,
+                                      seed=config.seed * 7_368_787 + 2)
         if not config.device_data:
             # Device-side prefetch: unlabeled batches land sharded on the
             # mesh two steps ahead of consumption (overlaps H2D+compute).

@@ -105,7 +105,9 @@ class WindowAttention(nn.Module):
                 window_attention, window_attention_sharded)
             from semiuhpe_tpu.parallel.mesh import current_trace_mesh
             bias_dense = biases[:, idxs].astype(jnp.float32)  # (H, N, N)
-            qh, kh, vh = (t.transpose(2, 0, 1, 3) for t in (q, k, v))
+            # Kernel layout is D-major (H, B, d, N): d=32 on sublanes
+            # avoids the 4x lane-padding tax (see the kernel docstring).
+            qh, kh, vh = (t.transpose(2, 0, 3, 1) for t in (q, k, v))
             ctx = current_trace_mesh()
             if ctx is not None and ctx[0].size > 1:
                 # Inside a multi-device jit_step: shard_map the kernel
@@ -116,8 +118,8 @@ class WindowAttention(nn.Module):
                     mode == "interpret")
             else:
                 out = window_attention(qh, kh, vh, bias_dense, d ** -0.5,
-                                       mode == "interpret")  # (H, B, N, d)
-            out = out.transpose(1, 2, 0, 3)
+                                       mode == "interpret")  # (H, B, d, N)
+            out = out.transpose(1, 3, 0, 2)  # -> (B, N, H, d)
         else:
             attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
                               preferred_element_type=jnp.float32) * (d ** -0.5)

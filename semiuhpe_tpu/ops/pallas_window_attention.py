@@ -17,13 +17,21 @@ Semantics match models/tinyvit.py exactly (reference parity chain:
     p   = softmax_f32(s)  -> cast to compute dtype
     out = p @ v                              [fp32 accumulate -> dtype]
 
-Layout contract: q, k, v are (H, B, N, D) — head-major so the per-head
-bias (H, N, N) can be block-indexed by the head grid coordinate; B is
-the window-batch (images x windows), N the tokens per window, D the head
-dim.  The caller passes the *dense gathered* bias (H, N, N) fp32; its
-gather from the (H, n_offsets) parameter happens in traced XLA code
-outside the kernel, so autodiff routes the dense d_bias produced here
-back to the parameter via the standard gather VJP (scatter-add).
+Layout contract: q, k, v are **(H, B, D, N) — D-major**: head-major so
+the per-head bias (H, N, N) can be block-indexed by the head grid
+coordinate; B is the window-batch (images x windows), N the tokens per
+window, D the head dim.  D-major puts the 32-wide head dim on SUBLANES
+(a clean multiple of the 16-sublane bf16 tile) and the token dim N on
+lanes, so Mosaic's tile padding costs 1.3-2.6x instead of the 4x lane
+padding an (N, D)-minor layout pays with D=32.  Measured on the v5e
+(scripts/attn_probe.py, quiet chip, fwd+bwd per block at student batch
+160): stage-2 4.556 -> 3.018 ms (-34%), stage-3 2.139 -> 1.653 ms
+(-23%), stage-4 1.217 -> 1.085 ms; the N-major twin is kept in the
+probe as `nmajor` for future A/Bs.  The caller passes the *dense
+gathered* bias (H, N, N) fp32; its gather from the (H, n_offsets)
+parameter happens in traced XLA code outside the kernel, so autodiff
+routes the dense d_bias produced here back to the parameter via the
+standard gather VJP (scatter-add).
 
 Backward is one kernel (flash-style in-VMEM recompute of s and p from
 the saved inputs) emitting dq, dk, dv and the dense d_bias; d_bias is
@@ -83,18 +91,19 @@ def _pick_chunk(b: int, n: int, d: int, n_io: int, n_tmp: int,
 
     Mosaic pads the two minor dims of every buffer to the dtype tile
     (2-byte dtypes: (16,128), 4-byte: (8,128)) and double-buffers the
-    pipelined IO blocks, so the cost model must count padded slabs —
-    with D=32 the lane dim pads 4x.  `n_io` counts (N, D)-shaped
-    compute-dtype blocks crossing the grid (double-buffered); `itemsize`
-    is that dtype's width (fp32 inputs need twice the bf16 slab);
-    `n_tmp` counts fp32 (N, N) logits-sized in-kernel temporaries
-    (calibrated: fwd ~2, bwd ~4).  The 13 MiB budget leaves headroom
-    under the 16 MiB scoped-vmem limit.
+    pipelined IO blocks, so the cost model must count padded slabs.
+    `n_io` counts (D, N)-shaped compute-dtype blocks crossing the grid
+    (double-buffered; D-major: D on sublanes pads 32->32, N on lanes
+    pads 49->128 / 196->256); `itemsize` is that dtype's width (fp32
+    inputs need twice the bf16 slab); `n_tmp` counts fp32 (N, N)
+    logits-sized in-kernel temporaries (calibrated: fwd ~2, bwd ~4).
+    The 13 MiB budget leaves headroom under the 16 MiB scoped-vmem
+    limit.
     """
     if bytes_budget is None:
         bytes_budget = _env_budget()
     io_sub = 16 if itemsize == 2 else 8
-    io = _round_up(n, io_sub) * _round_up(d, 128) * itemsize
+    io = _round_up(d, io_sub) * _round_up(n, 128) * itemsize
     tmp = _round_up(n, 8) * _round_up(n, 128) * 4
     per_g = 2 * n_io * io + n_tmp * tmp
     best = 1
@@ -109,21 +118,23 @@ def _pick_chunk(b: int, n: int, d: int, n_io: int, n_tmp: int,
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
-    q = q_ref[0]  # (G, N, D)
+    q = q_ref[0]  # (G, D, N)
     k = k_ref[0]
     v = v_ref[0]
     bias = bias_ref[0]  # (N, N) fp32
+    # s[n,m] = sum_d q[d,n] k[d,m]
     s = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)  # (G, N, N)
+        q, k, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (G, N, M)
     s = s * scale + bias[None]
     s = s - jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s)
     p = p / jnp.sum(p, axis=-1, keepdims=True)
     p = p.astype(q.dtype)
+    # o[d,n] = sum_m v[d,m] p[n,m]
     o = jax.lax.dot_general(
-        p, v, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
+        v, p, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (G, D, N)
     o_ref[0] = o.astype(o_ref.dtype)
 
 
@@ -133,30 +144,30 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
     k = k_ref[0]
     v = v_ref[0]
     bias = bias_ref[0]
-    do = do_ref[0]  # (G, N, D)
+    do = do_ref[0]  # (G, D, N)
 
     # Recompute p in VMEM (flash-style; saving p would cost an HBM pass).
     s = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
+        q, k, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (G, N, M)
     s = s * scale + bias[None]
     s = s - jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s)
     p32 = e / jnp.sum(e, axis=-1, keepdims=True)
     p = p32.astype(q.dtype)
 
-    # dV[g,m,d] = sum_n p[g,n,m] * dO[g,n,d]
+    # dV[d,m] = sum_n dO[d,n] p[n,m]
     dv = jax.lax.dot_general(
-        p, do, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    # dP = dO @ V^T : (G,N,D)x(G,M,D) -> (G,N,M)
+        do, p, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (G, D, M)
+    # dP[n,m] = sum_d dO[d,n] v[d,m]
     dp = jax.lax.dot_general(
-        do, v, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
+        do, v, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (G, N, M)
     # Softmax VJP through the fp32 softmax: the cast p32->dtype is a
     # straight-through value change; its grad contribution matches the
     # XLA path (convert_element_type has identity-like VJP).
-    ds = p32 * (dp - jnp.sum(dp * p32, axis=-1, keepdims=True))  # (G,N,N)
+    ds = p32 * (dp - jnp.sum(dp * p32, axis=-1, keepdims=True))  # (G,N,M)
 
     # dBias accumulates over the window-chunk grid dim (innermost).
     @pl.when(pl.program_id(1) == 0)
@@ -165,21 +176,21 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
     dbias_ref[0] += jnp.sum(ds, axis=0)
 
     ds_scaled = (ds * scale).astype(q.dtype)
-    # dQ = dS @ K : (G,N,M)x(G,M,D) -> (G,N,D)
+    # dQ[d,n] = sum_m k[d,m] dS[n,m]
     dq = jax.lax.dot_general(
-        ds_scaled, k, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    # dK = dS^T @ Q : contract over n
+        k, ds_scaled, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (G, D, N)
+    # dK[d,m] = sum_n q[d,n] dS[n,m]
     dk = jax.lax.dot_general(
-        ds_scaled, q, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
+        q, ds_scaled, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (G, D, M)
     dq_ref[0] = dq.astype(dq_ref.dtype)
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
 def _specs(h, b, g, n, d):
-    qkv = pl.BlockSpec((1, g, n, d), lambda i, j: (i, j, 0, 0),
+    qkv = pl.BlockSpec((1, g, d, n), lambda i, j: (i, j, 0, 0),
                        memory_space=pltpu.VMEM)
     bias = pl.BlockSpec((1, n, n), lambda i, j: (i, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -190,14 +201,15 @@ def _specs(h, b, g, n, d):
 def window_attention(q, k, v, bias, scale, interpret=False):
     """Fused window attention.
 
-    q, k, v: (H, B, N, D) in the compute dtype; bias: (H, N, N) fp32.
-    Returns (H, B, N, D) in the compute dtype.
+    q, k, v: (H, B, D, N) D-major in the compute dtype (see the module
+    docstring for why); bias: (H, N, N) fp32.
+    Returns (H, B, D, N) in the compute dtype.
     """
     return _fwd(q, k, v, bias, scale, interpret)
 
 
 def _fwd(q, k, v, bias, scale, interpret):
-    h, b, n, d = q.shape
+    h, b, d, n = q.shape
     g = _pick_chunk(b, n, d, n_io=4, n_tmp=2, itemsize=q.dtype.itemsize)
     qkv_spec, bias_spec = _specs(h, b, g, n, d)
     return pl.pallas_call(
@@ -205,7 +217,7 @@ def _fwd(q, k, v, bias, scale, interpret):
         grid=(h, b // g),
         in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec],
         out_specs=qkv_spec,
-        out_shape=jax.ShapeDtypeStruct((h, b, n, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((h, b, d, n), q.dtype),
         interpret=interpret,
         compiler_params=None if interpret else _compiler_params(2),
     )(q, k, v, bias)
@@ -217,7 +229,7 @@ def _fwd_rule(q, k, v, bias, scale, interpret):
 
 def _bwd_rule(scale, interpret, res, do):
     q, k, v, bias = res
-    h, b, n, d = q.shape
+    h, b, d, n = q.shape
     g = _pick_chunk(b, n, d, n_io=7, n_tmp=4, itemsize=q.dtype.itemsize)
     qkv_spec, bias_spec = _specs(h, b, g, n, d)
     dq, dk, dv, dbias = pl.pallas_call(
@@ -226,9 +238,9 @@ def _bwd_rule(scale, interpret, res, do):
         in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, qkv_spec],
         out_specs=(qkv_spec, qkv_spec, qkv_spec, bias_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((h, b, n, d), q.dtype),
-            jax.ShapeDtypeStruct((h, b, n, d), k.dtype),
-            jax.ShapeDtypeStruct((h, b, n, d), v.dtype),
+            jax.ShapeDtypeStruct((h, b, d, n), q.dtype),
+            jax.ShapeDtypeStruct((h, b, d, n), k.dtype),
+            jax.ShapeDtypeStruct((h, b, d, n), v.dtype),
             jax.ShapeDtypeStruct((h, n, n), jnp.float32),
         ),
         interpret=interpret,

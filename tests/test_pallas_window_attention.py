@@ -16,21 +16,22 @@ from semiuhpe_tpu.ops.pallas_window_attention import (_pick_chunk,
 
 
 def einsum_reference(q, k, v, bias, scale):
-    """The models/tinyvit.py WindowAttention math on (H, B, N, D) inputs."""
-    s = jnp.einsum("hbnd,hbmd->hbnm", q, k,
+    """The models/tinyvit.py WindowAttention math on D-major
+    (H, B, D, N) inputs (the kernel's layout contract)."""
+    s = jnp.einsum("hbdn,hbdm->hbnm", q, k,
                    preferred_element_type=jnp.float32) * scale
     s = s + bias[:, None]
     p = jnp.asarray(jax.nn.softmax(s.astype(jnp.float32), axis=-1), q.dtype)
-    out = jnp.einsum("hbnm,hbmd->hbnd", p, v,
+    out = jnp.einsum("hbnm,hbdm->hbdn", p, v,
                      preferred_element_type=jnp.float32)
     return out.astype(q.dtype)
 
 
 def _make(h, b, n, d, dtype, seed=0):
     rng = np.random.default_rng(seed)
-    q = jnp.asarray(rng.normal(size=(h, b, n, d)), dtype)
-    k = jnp.asarray(rng.normal(size=(h, b, n, d)), dtype)
-    v = jnp.asarray(rng.normal(size=(h, b, n, d)), dtype)
+    q = jnp.asarray(rng.normal(size=(h, b, d, n)), dtype)
+    k = jnp.asarray(rng.normal(size=(h, b, d, n)), dtype)
+    v = jnp.asarray(rng.normal(size=(h, b, d, n)), dtype)
     bias = jnp.asarray(rng.normal(size=(h, n, n)) * 0.1, jnp.float32)
     return q, k, v, bias
 
@@ -54,13 +55,15 @@ class TestPallasWindowAttention:
 
     @pytest.mark.parametrize("b,n,d,itemsize,fwd_g,bwd_g", [
         # TinyViT-21m @224 shapes.  Golden chunks: any cost-model change
-        # surfaces here and must be re-validated on hardware.
-        (160, 196, 32, 2, 16, 8),      # stage 3, bf16 (student batch 160)
-        (2560, 49, 32, 2, 64, 32),     # stage 2, bf16 (160 imgs x 16 win)
-        (640, 49, 32, 2, 64, 32),      # stage 4, bf16
+        # surfaces here and must be re-validated on hardware.  (D-major
+        # slabs are 2-3.3x smaller than the old N-major layout, so the
+        # chunks grew accordingly.)
+        (160, 196, 32, 2, 20, 10),     # stage 3, bf16 (student batch 160)
+        (2560, 49, 32, 2, 80, 40),     # stage 2, bf16 (160 imgs x 16 win)
+        (640, 49, 32, 2, 80, 40),      # stage 4, bf16
         (2048, 49, 32, 2, 64, 32),     # teacher b128 stage 2, bf16
-        (160, 196, 32, 4, 10, 5),      # stage 3, --dtype float32
-        (2560, 49, 32, 4, 40, 20),     # stage 2, float32
+        (160, 196, 32, 4, 20, 10),     # stage 3, --dtype float32
+        (2560, 49, 32, 4, 64, 32),     # stage 2, float32
     ])
     def test_pick_chunk_respects_scoped_vmem(self, b, n, d, itemsize,
                                              fwd_g, bwd_g):
@@ -88,7 +91,7 @@ class TestPallasWindowAttention:
                             itemsize=itemsize)
             assert g == expect, (b, n, d, itemsize, n_io, g, expect)
             assert b % g == 0
-            io_blocks = 2 * n_io * g * tile_padded_bytes((n, d), itemsize)
+            io_blocks = 2 * n_io * g * tile_padded_bytes((d, n), itemsize)
             tmp_bufs = n_tmp * g * tile_padded_bytes((n, n), 4)
             assert io_blocks + tmp_bufs <= 14 * 2 ** 20
 
@@ -124,7 +127,7 @@ class TestPallasWindowAttention:
         q, k, v, bias = _make(h, b, n, d, jnp.float32)
         scale = d ** -0.5
         w = jnp.asarray(
-            np.random.default_rng(1).normal(size=(h, b, n, d)), jnp.float32)
+            np.random.default_rng(1).normal(size=(h, b, d, n)), jnp.float32)
 
         def loss_ref(q, k, v, bias):
             return jnp.sum(einsum_reference(q, k, v, bias, scale) * w)
@@ -165,7 +168,7 @@ class TestShardedWindowAttention:
         q, k, v, bias = _make(h, b, n, d, jnp.float32)
         scale = d ** -0.5
         w = jnp.asarray(
-            np.random.default_rng(1).normal(size=(h, b, n, d)), jnp.float32)
+            np.random.default_rng(1).normal(size=(h, b, d, n)), jnp.float32)
 
         def loss_ref(q, k, v, bias):
             return jnp.sum(einsum_reference(q, k, v, bias, scale) * w)
