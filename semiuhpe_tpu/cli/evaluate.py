@@ -121,7 +121,8 @@ def main(argv=None):
                          drop_last=False, num_workers=config.num_workers)
 
     net = build_network(config.network, num_outputs=config.num_classes, dtype=dtype)
-    grids9 = (grids_as_device_matrix(config.rl_grid_level, config.rl_grid_mode)
+    grids9 = (grids_as_device_matrix(config.rl_grid_level, config.rl_grid_mode,
+                                     file=config.rl_grid_file)
               if config.distribution == "RotationLaplace" else None)
     with jax.default_device(jax.devices()[0]):
         template = jax.jit(lambda k: create_train_state(

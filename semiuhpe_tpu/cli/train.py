@@ -348,10 +348,13 @@ def main(argv=None):
 
     # ----- model/state -----
     net = build_network(config.network, num_outputs=config.num_classes, dtype=dtype)
-    grids9 = (grids_as_device_matrix(config.rl_grid_level, config.rl_grid_mode)
+    grids9 = (grids_as_device_matrix(config.rl_grid_level, config.rl_grid_mode,
+                                     file=config.rl_grid_file)
               if config.distribution == "RotationLaplace" else None)
     if grids9 is not None:
-        logger.line(f"[RotationLaplace] grid level {config.rl_grid_level} "
+        src = (f"file {config.rl_grid_file}" if config.rl_grid_file
+               else f"level {config.rl_grid_level}")
+        logger.line(f"[RotationLaplace] grid {src} "
                     f"mode {config.rl_grid_mode}: {grids9.shape[0]} points")
     with jax.default_device(jax.devices()[0]):
         state = jax.jit(

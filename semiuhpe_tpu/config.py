@@ -119,6 +119,12 @@ def build_parser(phase: str) -> argparse.ArgumentParser:
                         "points (the reference's active choice, "
                         "agent.py:43-58), 3 = 36864, 4 = 294912 (generated, "
                         "not loaded from .npy blobs)")
+    p.add_argument("--rl_grid_file", type=str, default=None,
+                   help="load the RotationLaplace SO(3) quadrature grid "
+                        "from this .npy blob (the reference's eq_grids*.npy "
+                        "format, agent.py:43-58) instead of generating it — "
+                        "for bit-parity runs on the exact reference point "
+                        "set; overrides --rl_grid_level")
     p.add_argument("--rl_grid_mode", type=str, default="full",
                    choices=["full", "front", "large", "half"],
                    help="RotationLaplace grid range filter (reference "

@@ -207,7 +207,34 @@ def filter_grids(grids: np.ndarray, mode: str = "full") -> np.ndarray:
     return grids[theta < thr]
 
 
-def grids_as_device_matrix(level: int = 2, mode: str = "full") -> jnp.ndarray:
+def grids_from_file(path: str) -> np.ndarray:
+    """Load an SO(3) grid blob in the reference's .npy format — an (N, 3, 3)
+    float array of rotation matrices (e.g. the shipped
+    /root/reference/src/laplace/eq_grids2.npy / eq_grids3*.npy consumed at
+    /root/reference/src/agent.py:43-58).  Validates that every entry is a
+    proper rotation; real RotationLaplace parity runs pass such a file via
+    ``--rl_grid_file`` to train on the exact reference quadrature points."""
+    grids = np.load(path).astype(np.float32)
+    if grids.ndim != 3 or grids.shape[-2:] != (3, 3):
+        raise ValueError(
+            f"grid file {path!r} has shape {grids.shape}, want (N, 3, 3)")
+    g64 = grids.astype(np.float64)
+    orth_err = np.abs(
+        np.einsum("nij,nkj->nik", g64, g64) - np.eye(3)).max()
+    det_err = np.abs(np.linalg.det(g64) - 1.0).max()
+    if orth_err > 1e-4 or det_err > 1e-4:
+        raise ValueError(
+            f"grid file {path!r} entries are not rotations "
+            f"(orth err {orth_err:.2e}, det err {det_err:.2e})")
+    return grids
+
+
+def grids_as_device_matrix(level: int = 2, mode: str = "full",
+                           file: str | None = None) -> jnp.ndarray:
     """(N, 9) float32 device array of flattened (optionally range-filtered)
-    grid rotations."""
-    return jnp.asarray(filter_grids(so3_healpix_grid(level), mode).reshape(-1, 9))
+    grid rotations.  With ``file`` set, loads the quadrature point set from
+    that .npy blob (reference format) instead of generating it; the ``mode``
+    filter still applies (the reference ships pre-filtered subsets, so pass
+    mode='full' with those)."""
+    grids = grids_from_file(file) if file else so3_healpix_grid(level)
+    return jnp.asarray(filter_grids(grids, mode).reshape(-1, 9))

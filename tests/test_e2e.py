@@ -119,6 +119,24 @@ def test_rotation_laplace_level3_filtered_grid(exp_dir):
 
 
 @pytest.mark.e2e
+@pytest.mark.skipif(
+    not os.path.isfile("/root/reference/src/laplace/eq_grids2.npy"),
+    reason="reference grid blobs not mounted")
+def test_rotation_laplace_reference_grid_file(exp_dir):
+    """--rl_grid_file trains on the reference's SHIPPED quadrature blob
+    (eq_grids2.npy, the point set real reference runs used —
+    /root/reference/src/agent.py:43-47), VERDICT r3 next #2."""
+    from semiuhpe_tpu.cli import train as train_cli
+
+    best_err = train_cli.main(
+        ARGS + ["--exp_dir", exp_dir, "--distribution", "RotationLaplace",
+                "--rl_grid_file", "/root/reference/src/laplace/eq_grids2.npy",
+                "--max_iteration", "4", "--stage1_iteration", "4",
+                "--val_frequency", "4", "--exp_name", "rlref"])
+    assert np.isfinite(best_err) and best_err < 360
+
+
+@pytest.mark.e2e
 def test_nll_unsuper_variant(exp_dir):
     """SSL with type_unsuper=nll (pseudo-label NLL instead of Fisher-CE)."""
     from semiuhpe_tpu.cli import train as train_cli
