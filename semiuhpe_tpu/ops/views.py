@@ -7,7 +7,8 @@ pipeline after the head crop onto the TPU: the loader ships ONE uint8
 (S, S, 3) base crop per sample (4x smaller transfer, ~3x less host work)
 and the device produces both views inside the train step:
 
-* weak: RandomResizedCrop scale (0.8, 1.25) ratio 1:1 + 5% box blur;
+* weak: RandomResizedCrop scale (0.8, 1.25) ratio 1:1 + 5% PIL BLUR
+  (exact 5x5 ring kernel, see ``_pil_blur``);
 * strong: optional pose-altering rotation U(-30, 30) deg (bilinear affine
   warp about the center, zero fill — PIL rotate+recrop semantics) +
   RandomResizedCrop scale (0.6, 1.5);
@@ -153,15 +154,26 @@ def rotate_batch(angles_deg: jnp.ndarray, imgs: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(one)(imgs, angles_deg)
 
 
-def _box_blur(imgs: jnp.ndarray) -> jnp.ndarray:
-    """3x3 box blur (the cheap stand-in for PIL's ImageFilter.BLUR)."""
-    k = jnp.ones((3, 3, 1, 1), imgs.dtype) / 9.0
+def _pil_blur(imgs: jnp.ndarray) -> jnp.ndarray:
+    """PIL ``ImageFilter.BLUR``, exactly (the reference's 5% weak-view blur,
+    dataset_300WLP.py:115): a 5x5 ring kernel — outer ring of ones, hollow
+    3x3 center — divided by 16, rounded to the nearest integer like PIL's
+    uint8 output, with the outer 2-pixel border copied through unfiltered
+    (PIL leaves pixels without full kernel support unchanged).  Byte-parity
+    with PIL is asserted in tests/test_views.py."""
     c = imgs.shape[-1]
-    kernel = jnp.tile(k, (1, 1, 1, c))
-    return jax.lax.conv_general_dilated(
+    ring = (jnp.ones((5, 5), imgs.dtype).at[1:4, 1:4].set(0.0)) / 16.0
+    kernel = jnp.tile(ring[:, :, None, None], (1, 1, 1, c))
+    blurred = jax.lax.conv_general_dilated(
         imgs, kernel, (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c)
+    blurred = jnp.floor(blurred + 0.5)
+    h, w = imgs.shape[1], imgs.shape[2]
+    inner_y = (jnp.arange(h) >= 2) & (jnp.arange(h) < h - 2)
+    inner_x = (jnp.arange(w) >= 2) & (jnp.arange(w) < w - 2)
+    interior = inner_y[:, None] & inner_x[None, :]
+    return jnp.where(interior[None, :, :, None], blurred, imgs)
 
 
 def make_views(rng: jax.Array, base_u8: jnp.ndarray, out_size: int,
@@ -187,7 +199,7 @@ def make_views(rng: jax.Array, base_u8: jnp.ndarray, out_size: int,
     imgs = jnp.where(flip[:, None, None, None], imgs[:, :, ::-1, :], imgs)
 
     do_blur = jax.random.uniform(k_blur, (b, 1, 1, 1)) < blur_prob
-    imgs = jnp.where(do_blur, _box_blur(imgs), imgs)
+    imgs = jnp.where(do_blur, _pil_blur(imgs), imgs)
 
     weak = random_resized_crop_batch(k_weak, imgs, (0.8, 1.25), out_size)
     out = {"img": (weak / 255.0 - IMAGENET_MEAN) / IMAGENET_STD,
