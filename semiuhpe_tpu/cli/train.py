@@ -672,26 +672,11 @@ def main(argv=None):
                     and it >= first_sweep_at):
                 if config.dynamic_thres:
                     if dd:
-                        # Same quantile semantics as dynamic_entropy_threshold
-                        # but scored by in-program pool gathers (no H2D).
-                        chunk = config.eval_batch_size
-                        keys = sweep_keys(config.seed, it)
-                        ents = []
-                        for start in range(0, len(ulb_set), chunk):
-                            idx = np.arange(start,
-                                            min(start + chunk, len(ulb_set)))
-                            nv = len(idx)
-                            if nv < chunk:
-                                idx = np.concatenate(
-                                    [idx, np.full(chunk - nv, idx[-1])])
-                            e = entropy_pool(
-                                state, ulb_pool.arrays,
-                                jax.device_put(idx.astype(np.int32), idx_sh),
-                                next(keys))
-                            ents.append(np.asarray(e)[:nv])
-                        e = np.sort(np.concatenate(ents))
-                        index = int(len(e) * config.left_ratio)
-                        conf_thres = float(e[min(index, len(e) - 1)])
+                        conf_thres = steps_mod.pooled_entropy_threshold(
+                            entropy_pool, state, ulb_pool.arrays,
+                            len(ulb_set), config.eval_batch_size,
+                            sweep_keys(config.seed, it), config.left_ratio,
+                            put_idx=lambda a: jax.device_put(a, idx_sh))
                     else:
                         keys = sweep_keys(config.seed, it)
                         conf_thres = steps_mod.dynamic_entropy_threshold(

@@ -464,3 +464,35 @@ def dynamic_entropy_threshold(entropy_fn, state, batches, left_ratio: float) -> 
     e = np.sort(np.concatenate(all_e))
     index = int(len(e) * left_ratio)
     return float(e[min(index, len(e) - 1)])
+
+
+def pooled_entropy_threshold(entropy_pool, state, pool_arrays, n: int,
+                             chunk: int, keys, left_ratio: float,
+                             put_idx=None) -> float:
+    """``--device_data`` twin of :func:`dynamic_entropy_threshold`: same
+    quantile semantics (reference compute_dynamic_entropy_threshold,
+    agent.py:357-417), but entropies are scored by in-program pool gathers
+    — only int32 index vectors cross the host↔device tunnel.  The tail
+    chunk is padded by repeating its last index and trimmed after the
+    fetch so every dispatch has the same static shape.  ``put_idx``
+    pre-places each index vector (e.g. ``jax.device_put`` with the mesh
+    batch sharding); ``keys`` yields one view rng per chunk.
+
+    Equivalence with the host-gather path is asserted at WildHead scale
+    (>=400k entropies) in tests/test_sweep_scale.py."""
+    import numpy as np
+
+    ents = []
+    for start in range(0, n, chunk):
+        idx = np.arange(start, min(start + chunk, n))
+        nv = len(idx)
+        if nv < chunk:
+            idx = np.concatenate([idx, np.full(chunk - nv, idx[-1])])
+        idx = idx.astype(np.int32)
+        if put_idx is not None:
+            idx = put_idx(idx)
+        e = entropy_pool(state, pool_arrays, idx, next(keys))
+        ents.append(np.asarray(e)[:nv])
+    e = np.sort(np.concatenate(ents))
+    index = int(len(e) * left_ratio)
+    return float(e[min(index, len(e) - 1)])
