@@ -67,6 +67,28 @@ def _pallas_attn_mode() -> str:
     return "on" if jax.default_backend() == "tpu" else "off"
 
 
+def _gelu(v):
+    """TinyViT's GELU.  fp32: exact erf, matching torch nn.GELU()
+    (/root/reference/src/tiny_vit.py uses the torch default everywhere),
+    so parity/golden/import paths stay bit-faithful.  bfloat16: the tanh
+    approximation — measured 28.7 ms/step cheaper in stage-1 alone at the
+    bench shapes (scripts/s1_decompose.py: XLA's erf lowering costs ~2x
+    the surrounding convs on the 385 MB expanded tensors; tanh is one VPU
+    transcendental).  max|erf-tanh| = 4.7e-4 absolute (at x~2.7), below
+    the ~2e-3 rounding noise bf16 itself adds to unit-scale activations,
+    so the swap is invisible at bf16 training precision
+    (tests/test_models.py::test_gelu_mode).  ``SEMIUHPE_GELU=erf|tanh``
+    overrides either way."""
+    mode = os.environ.get("SEMIUHPE_GELU", "auto")
+    if mode == "tanh":
+        approx = True
+    elif mode == "erf":
+        approx = False
+    else:
+        approx = v.dtype == jnp.bfloat16
+    return nn.gelu(v, approximate=approx)
+
+
 def _attention_bias_idxs(resolution: Tuple[int, int]) -> Tuple[np.ndarray, int]:
     points = list(itertools.product(range(resolution[0]), range(resolution[1])))
     offsets = {}
@@ -141,7 +163,7 @@ class TinyViTMlp(nn.Module):
     def __call__(self, x, train: bool = True):
         x = nn.LayerNorm(dtype=self.dtype)(x)
         x = nn.Dense(self.hidden, dtype=self.dtype)(x)
-        x = nn.gelu(x, approximate=False)
+        x = _gelu(x)
         x = nn.Dense(self.out, dtype=self.dtype)(x)
         return x
 
@@ -202,7 +224,7 @@ class TinyViTMBConv(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         hidden = int(x.shape[-1] * self.expand_ratio)
-        act = lambda v: nn.gelu(v, approximate=False)
+        act = _gelu
         shortcut = x
         x = ConvBN(hidden, 1, 1, activation=act, dtype=self.dtype,
                    axis_name=self.axis_name)(x, train)
@@ -221,7 +243,7 @@ class PatchMerging(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        act = lambda v: nn.gelu(v, approximate=False)
+        act = _gelu
         x = ConvBN(self.out_dim, 1, 1, activation=act, dtype=self.dtype,
                    axis_name=self.axis_name)(x, train)
         x = ConvBN(self.out_dim, 3, 2, groups=self.out_dim, activation=act,
@@ -245,7 +267,7 @@ class TinyViT(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True, features_only: bool = False):
-        act = lambda v: nn.gelu(v, approximate=False)
+        act = _gelu
         # Patch embed: two stride-2 3x3 convs -> /4.
         x = ConvBN(self.embed_dims[0] // 2, 3, 2, activation=act,
                    dtype=self.dtype, axis_name=self.axis_name)(x, train)

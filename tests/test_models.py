@@ -63,6 +63,36 @@ def test_tinyvit_forward_and_size():
     assert 19e6 < n < 23e6, f"tinyvit: {n/1e6:.1f}M"
 
 
+def test_gelu_mode(monkeypatch):
+    """TinyViT GELU policy: exact erf for fp32 (torch-parity paths), tanh
+    approximation for bfloat16 compute (perf; scripts/s1_decompose.py),
+    SEMIUHPE_GELU=erf|tanh overriding either way — and the approximation
+    error must stay below the documented 5e-4 bound, i.e. under the ~2e-3
+    rounding noise bf16 itself adds to unit-scale activations."""
+    import flax.linen as nn
+
+    from semiuhpe_tpu.models.tinyvit import _gelu
+
+    x32 = jnp.linspace(-8.0, 8.0, 4097, dtype=jnp.float32)
+    erf = nn.gelu(x32, approximate=False)
+    tanh = nn.gelu(x32, approximate=True)
+    assert float(jnp.max(jnp.abs(erf - tanh))) < 5e-4
+
+    monkeypatch.delenv("SEMIUHPE_GELU", raising=False)
+    np.testing.assert_array_equal(np.asarray(_gelu(x32)), np.asarray(erf))
+    x16 = x32.astype(jnp.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(_gelu(x16), np.float32),
+        np.asarray(nn.gelu(x16, approximate=True), np.float32))
+
+    monkeypatch.setenv("SEMIUHPE_GELU", "erf")
+    np.testing.assert_array_equal(
+        np.asarray(_gelu(x16), np.float32),
+        np.asarray(nn.gelu(x16, approximate=False), np.float32))
+    monkeypatch.setenv("SEMIUHPE_GELU", "tanh")
+    np.testing.assert_array_equal(np.asarray(_gelu(x32)), np.asarray(tanh))
+
+
 def test_repvgg_forward_and_size():
     net = build_network("repvgg")
     x = jnp.zeros((1, 64, 64, 3))
