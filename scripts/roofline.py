@@ -34,10 +34,17 @@ a real implementation can only be slower):
   read in the backward (the dgamma/dbeta + input-centering reductions
   cannot all fuse into the dgrad conv).  Reported as ``bn_extra``.
 * FLOPs: XLA ``cost_analysis`` of the jitted forward (x3 for fwd+bwd)
-  at the v5e bf16 MXU peak (197 TFLOP/s).  This FLOP floor ignores that
-  depthwise convs run on the VPU (~3.9 TF/s) — the per-component
-  VPU split is in scripts/tinyvit_floor.py for tinyvit; for conv nets
-  the HBM term dominates anyway.
+  at the v5e bf16 MXU peak (197 TFLOP/s) for the aggregate; ADDITIONALLY
+  an analytic per-conv FLOP count (kernel shape from params joined to
+  the captured output shape by module path) splits depthwise convs out
+  to the VPU rate (~3.9 TF/s fp32 ALU — dw convs never touch the MXU),
+  which the aggregate cost-analysis floor cannot see.
+* Per-stage table (effinetv2 only): the same conv6+BN traffic and
+  MXU/VPU compute terms grouped by trunk stage, to sit next to the
+  measured trunk-ladder diffs in BENCH_NOTES (stage floors vs measured
+  stage times is the per-stage floor statement VERDICT r3 #3ii asks
+  for).  Per-stage floor_ms = max(hbm_ms, mxu_ms + vpu_ms) — compute
+  terms add because dw and dense convs of one block run sequentially.
 
 floor_ms = max(bytes / 819 GB/s, flops / 197 TF/s), per touch model.
 
@@ -58,6 +65,7 @@ BATCH = int(os.environ.get("BENCH_BATCH", 160))   # student fwd+bwd batch
 SIZE = int(os.environ.get("BENCH_SIZE", 224))
 HBM = 819e9
 MXU_BF16 = 197e12
+VPU = 3.9e12               # v5e VPU fp32 ALU FLOP/s (dw convs)
 BYTES = 2
 
 
@@ -102,6 +110,100 @@ def main():
                         (f"{path}/{k}", t.shape))
 
     walk(inter.get("intermediates", {}))
+
+    # ---- per-conv FLOP split (MXU vs VPU) via params-path join --------
+    from jax.tree_util import tree_flatten_with_path
+
+    kernels = {}   # "FusedMBConv_3/ConvBN_0/Conv_0" -> kernel shape
+    for kp, leaf in tree_flatten_with_path(v["params"])[0]:
+        keys = [getattr(k, "key", str(k)) for k in kp]
+        if keys[-1] == "kernel":
+            kernels["/".join(keys[:-1])] = leaf.shape
+
+    def r128(d):
+        """Fraction of a 128-wide MXU dim actually used at size d."""
+        import math
+        return d / (math.ceil(d / 128) * 128)
+
+    def conv_terms(path, out_shape):
+        """(mxu_flops, vpu_flops, mxu_adj_flops) fwd-only FLOPs for the
+        op that produced ``out_shape`` at module ``path``.
+
+        ``mxu_adj_flops`` is an effective-FLOP ESTIMATE (not a bound):
+        per-pass (fwd / dgrad / wgrad) FLOPs divided by the MXU tile
+        utilization from rounding the GEMM K and N (and wgrad's small M)
+        dims up to the 128-wide array — the mechanism behind the known
+        low-channel inefficiency of early conv stages.  Stride/dilation
+        effects in dgrad and the dead stem dgrad are ignored.
+        """
+        key = path.strip("/").removesuffix("/__call__")
+        ks = kernels.get(key)
+        if ks is None:
+            return 0, 0, 0
+        if len(ks) == 2:                      # Dense: (CI, CO)
+            fl = 2 * int(np.prod(out_shape)) * ks[0]
+            return fl, 0, 3 * fl / (r128(ks[0]) * r128(ks[1]))
+        if len(ks) == 4:                      # Conv: (kh, kw, cin_g, CO)
+            kh, kw, cin_g, co = ks
+            fl = 2 * int(np.prod(out_shape)) * kh * kw * cin_g
+            if cin_g == 1 and kh * kw > 1:    # depthwise -> VPU
+                return 0, fl, 0
+            u_fwd = r128(kh * kw * cin_g) * r128(co)      # K x N
+            u_dgrad = r128(kh * kw * co) * r128(cin_g)    # K x N
+            u_wgrad = r128(kh * kw * cin_g) * r128(co)    # M x N (K huge)
+            adj = fl / u_fwd + fl / u_dgrad + fl / u_wgrad
+            return fl, 0, adj
+        return 0, 0, 0
+
+    # ---- per-stage grouping (effinetv2-s trunk layout) ----------------
+    def stage_of(path):
+        seg = path.strip("/").split("/")[0]
+        if NET not in ("effinetv2", "effinetv2_s"):
+            return seg
+        if seg.startswith("FusedMBConv_"):
+            i = int(seg.split("_")[1])
+            return "s1" if i < 2 else ("s2" if i < 6 else "s3")
+        if seg.startswith("MBConv_"):
+            i = int(seg.split("_")[1])
+            return "s4" if i < 6 else ("s5" if i < 15 else "s6")
+        if seg in ("ConvBN_0", "ConvS2D_0"):
+            return "stem"
+        if seg == "ConvBN_1":
+            return "head_conv"
+        return "head"
+
+    def padded_bytes(shape):
+        """Bytes of ``shape`` with the minor (channel) dim padded to the
+        128-lane tile — what XLA's default NHWC layout actually moves for
+        low-channel tensors (a 48-channel tensor costs 2.67x its logical
+        bytes).  Second-minor (16-sublane) padding is deliberately NOT
+        charged: measured s6 times (7x7 spatial, wide channels) come in
+        BELOW the (16,128) model's floor, falsifying it — XLA evidently
+        avoids the sublane waste there (spatial folding), so only the
+        channel term is defensible as a strategy floor."""
+        import math
+        if len(shape) < 1:
+            return int(np.prod(shape)) * BYTES
+        minor = math.ceil(shape[-1] / 128) * 128
+        return int(np.prod(shape[:-1])) * minor * BYTES
+
+    stages = {}
+    for p, s in tensors:
+        st = stages.setdefault(stage_of(p),
+                               dict(act=0, bn=0, mxu=0, vpu=0, adj=0,
+                                    act_pad=0))
+        st["act"] += int(np.prod(s)) * BYTES
+        st["act_pad"] += padded_bytes(s)
+        m, vp, adj = conv_terms(p, s)
+        st["mxu"] += 3 * m          # fwd + dgrad + wgrad
+        st["vpu"] += 3 * vp
+        st["adj"] += adj
+    for p, s in bn_tensors:
+        st = stages.setdefault(stage_of(p),
+                               dict(act=0, bn=0, mxu=0, vpu=0, adj=0,
+                                    act_pad=0))
+        st["bn"] += int(np.prod(s)) * BYTES
+
     act_bytes = sum(int(np.prod(s)) * BYTES for _, s in tensors)
     bn_bytes = sum(int(np.prod(s)) * BYTES for _, s in bn_tensors)
     # BN two-pass fwd stats + non-fusable bwd reductions: 2 extra reads of
@@ -126,6 +228,32 @@ def main():
         print(f"cost_analysis unavailable: {e}", file=sys.stderr)
     mxu_ms = 3 * fwd_flops / MXU_BF16 * 1e3 if fwd_flops else None
 
+    def stage_row(name, st):
+        hbm = (6 * st["act"] + 2 * st["bn"]) / HBM * 1e3
+        mxu = st["mxu"] / MXU_BF16 * 1e3
+        vpu = st["vpu"] / VPU * 1e3
+        adj = st["adj"] / MXU_BF16 * 1e3
+        hbm_pad = (6 * st["act_pad"] + 2 * st["bn"]) / HBM * 1e3
+        return {
+            "stage": name,
+            "conv6_GB": round((6 * st["act"] + 2 * st["bn"]) / 1e9, 3),
+            "hbm_ms": round(hbm, 2), "mxu_ms": round(mxu, 2),
+            "vpu_ms": round(vpu, 2),
+            "floor_ms": round(max(hbm, mxu + vpu), 2),
+            "lane_adj_est_ms": round(max(hbm, adj + vpu), 2),
+            "hbm_padded_ms": round(hbm_pad, 2),
+            "xla_strategy_est_ms": round(max(hbm_pad, adj + vpu), 2),
+        }
+
+    order = ["stem", "s1", "s2", "s3", "s4", "s5", "s6", "head_conv",
+             "head"]
+    per_stage = [stage_row(n, stages[n]) for n in order if n in stages]
+    per_stage += [stage_row(n, st) for n, st in sorted(stages.items())
+                  if n not in order]
+    vpu_ms_total = sum(st["vpu"] for st in stages.values()) / VPU * 1e3
+    mxu_ms_analytic = (sum(st["mxu"] for st in stages.values())
+                       / MXU_BF16 * 1e3)
+
     biggest = sorted(tensors, key=lambda t: -int(np.prod(t[1])))[:8]
     print(json.dumps({
         "net": NET, "batch": BATCH, "size": SIZE,
@@ -141,6 +269,11 @@ def main():
         "mxu_floor_ms": round(mxu_ms, 2) if mxu_ms else None,
         "ideal4_floor_ms": round(max(hbm_ms, mxu_ms or 0), 2),
         "conv6_floor_ms": round(max(hbm6_ms, mxu_ms or 0), 2),
+        "analytic_mxu_ms": round(mxu_ms_analytic, 2),
+        "analytic_vpu_ms": round(vpu_ms_total, 2),
+        "conv6_floor_with_vpu_ms": round(
+            max(hbm6_ms, mxu_ms_analytic + vpu_ms_total), 2),
+        "per_stage": per_stage,
         "top_tensors": [
             {"path": p[-60:], "shape": list(s),
              "MB": round(int(np.prod(s)) * BYTES / 1e6, 1)}
