@@ -15,6 +15,7 @@ set -e
 cd "$(dirname "$0")/.."
 
 NET="${1:?usage: ssl_benefit_224_net.sh <network> [ssl-only|sup-only]}"
+EXP_DIR="${EXP_DIR:-exps_r3}"   # round-4 arms pass EXP_DIR=exps_r4
 
 COMMON="--train_labeled synthetic --train_unlabeled synthetic --test_set synthetic
   --network $NET --input_size 224 --synthetic_size 16384 --ss_ratio 0.015625
@@ -22,7 +23,7 @@ COMMON="--train_labeled synthetic --train_unlabeled synthetic --test_set synthet
   --batch_size 32 --lr 1e-4 --dtype bfloat16 --device_views true
   --packed_cache /tmp/pack_r3_224 --device_data true
   --log_frequency 400 --val_frequency 500
-  --eval_batch_size 256 --exp_dir exps_r3 --num_workers 4 --max_rss_gb 80"
+  --eval_batch_size 256 --exp_dir $EXP_DIR --num_workers 4 --max_rss_gb 80"
 
 if [ "${2:-}" != "ssl-only" ]; then
 scripts/train_auto_resume.sh $COMMON --exp_name "sup_224_$NET" \

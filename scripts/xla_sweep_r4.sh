@@ -14,6 +14,7 @@
 set -u
 cd "$(dirname "$0")/.."
 OUT=${1:-/tmp/xla_sweep_r4}
+PHASE=${PHASE:-both}   # 1 = compile only, 2 = timed only, both
 mkdir -p "$OUT"
 
 VARIANTS=(
@@ -25,8 +26,10 @@ VARIANTS=(
   "licm:xla_tpu_licm_size_inflation_ratio=2"
 )
 
+if [ "$PHASE" != "2" ]; then
 echo "=== phase 1: AOT compile variants (cache warm)"
 : > "$OUT/compile.jsonl"
+: > "$OUT/compile_status.txt"
 for v in "${VARIANTS[@]}"; do
   name=${v%%:*}; opts=${v#*:}
   echo "--- compile $name ($opts)"
@@ -40,6 +43,9 @@ for v in "${VARIANTS[@]}"; do
   fi
 done
 # baseline is assumed already cached (plain bench.py run this round)
+fi
+
+if [ "$PHASE" = "1" ]; then echo "=== phase 1 done (PHASE=1)"; exit 0; fi
 
 echo "=== phase 2: timed pairs (baseline, variant) on a quiet chip"
 : > "$OUT/timed.jsonl"
