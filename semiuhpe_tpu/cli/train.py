@@ -39,7 +39,9 @@ from semiuhpe_tpu.models import build_network
 from semiuhpe_tpu.ops.laplace import grids_as_device_matrix
 from semiuhpe_tpu.parallel import make_mesh, jit_step, shard_batch, replicate
 from semiuhpe_tpu.training import steps as steps_mod
-from semiuhpe_tpu.training.checkpoints import load_checkpoint, save_checkpoint
+from semiuhpe_tpu.training.checkpoints import (load_checkpoint,
+                                               save_checkpoint,
+                                               wedge_watchdog)
 from semiuhpe_tpu.training.loggingx import TextLogger, Throughput
 from semiuhpe_tpu.training.profiling import StepTimer, device_memory_stats, trace
 from semiuhpe_tpu.training.state import create_train_state, set_learning_rate
@@ -606,16 +608,23 @@ def main(argv=None):
                 rate = meter.tick(n_imgs)
                 it += 1
             if it % config.log_frequency == 0:
-                m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                with wedge_watchdog(f"log-metrics fetch @it {it}"):
+                    metrics = jax.device_get(metrics)
+                m = {k: float(v) for k, v in metrics.items()}
                 m["imgs_per_sec"] = rate
                 logger.log("train" if s1 else "train_SSL", it, m)
                 print(f"[{epoch:03d}|{it:07d}] " +
                       " ".join(f"{k}:{v:.4f}" for k, v in m.items()), flush=True)
 
             if it % config.val_frequency == 0:
-                loss, err, mratio, err_pseudo = evaluate(
-                    eval_student, state, test_loader, mesh, conf_thres,
-                    config.eval_batch_size, pool=test_pool if dd else None)
+                # Eval fetches through the relay have wedged permanently
+                # (Array.__array__ stuck >13 min, live round-4 run); the
+                # watchdog turns that into an exit-75 auto-resume.
+                with wedge_watchdog(f"student eval @it {it}"):
+                    loss, err, mratio, err_pseudo = evaluate(
+                        eval_student, state, test_loader, mesh, conf_thres,
+                        config.eval_batch_size,
+                        pool=test_pool if dd else None)
                 logger.log("test", it, {"loss": loss, "err_mean": err,
                                         "mask_ratio": mratio,
                                         "err_pseudo_gt": err_pseudo})
@@ -657,10 +666,11 @@ def main(argv=None):
                         f"{config.max_rss_gb:g}: exiting 75 for auto-resume")
                     sys.exit(75)
                 if not s1:
-                    loss_e, err_e, mratio_e, err_pseudo_e = evaluate(
-                        eval_teacher, state, test_loader, mesh, conf_thres,
-                        config.eval_batch_size,
-                        pool=test_pool if dd else None)
+                    with wedge_watchdog(f"teacher eval @it {it}"):
+                        loss_e, err_e, mratio_e, err_pseudo_e = evaluate(
+                            eval_teacher, state, test_loader, mesh,
+                            conf_thres, config.eval_batch_size,
+                            pool=test_pool if dd else None)
                     logger.log("test_ema", it,
                                {"loss": loss_e, "err_mean": err_e,
                                 "mask_ratio": mratio_e,
@@ -671,20 +681,23 @@ def main(argv=None):
             if (it % config.save_frequency == 0 and do_ssl
                     and it >= first_sweep_at):
                 if config.dynamic_thres:
-                    if dd:
-                        conf_thres = steps_mod.pooled_entropy_threshold(
-                            entropy_pool, state, ulb_pool.arrays,
-                            len(ulb_set), config.eval_batch_size,
-                            sweep_keys(config.seed, it), config.left_ratio,
-                            put_idx=lambda a: jax.device_put(a, idx_sh))
-                    else:
-                        keys = sweep_keys(config.seed, it)
-                        conf_thres = steps_mod.dynamic_entropy_threshold(
-                            lambda st, img: entropy_fn(st, jax.device_put(img)),
-                            state,
-                            ({"img": ulb_entropy_images(b, k)}
-                             for b, k in zip(ulb_loader, keys)),
-                            config.left_ratio)
+                    with wedge_watchdog(f"dynamic sweep @it {it}"):
+                        if dd:
+                            conf_thres = steps_mod.pooled_entropy_threshold(
+                                entropy_pool, state, ulb_pool.arrays,
+                                len(ulb_set), config.eval_batch_size,
+                                sweep_keys(config.seed, it),
+                                config.left_ratio,
+                                put_idx=lambda a: jax.device_put(a, idx_sh))
+                        else:
+                            keys = sweep_keys(config.seed, it)
+                            conf_thres = steps_mod.dynamic_entropy_threshold(
+                                lambda st, img: entropy_fn(
+                                    st, jax.device_put(img)),
+                                state,
+                                ({"img": ulb_entropy_images(b, k)}
+                                 for b, k in zip(ulb_loader, keys)),
+                                config.left_ratio)
                     logger.log("settings", it, {"conf_thres": conf_thres})
                 if feature_fn is not None:
                     # save_feat: dump {idx: [penultimate_feat, entropy]} for

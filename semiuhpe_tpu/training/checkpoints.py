@@ -17,6 +17,7 @@ the last finalized checkpoint instead of hanging the run.
 
 from __future__ import annotations
 
+import contextlib
 import glob
 import os
 import shutil
@@ -32,6 +33,40 @@ import orbax.checkpoint as ocp
 # this is wedged, not slow.
 _SAVE_TIMEOUT_S = float(os.environ.get("SEMIUHPE_CKPT_TIMEOUT", "600"))
 
+# Device->host value fetches through the axon relay can also wedge
+# permanently (observed live: an eval `Array.__array__` fetch stuck >13
+# min while a concurrent nice-19 pytest ran; the fetch never returned
+# even after the CPU load was killed).  Healthy evals/log fetches are
+# seconds; anything past this is a hang, not a queue.
+_FETCH_TIMEOUT_S = float(os.environ.get("SEMIUHPE_FETCH_TIMEOUT", "600"))
+
+
+@contextlib.contextmanager
+def wedge_watchdog(label: str, timeout_s: float | None = None):
+    """Hard-exit 75 (EX_TEMPFAIL) if the wrapped block wedges.
+
+    Wrap any blocking device-value fetch on the training hot path (eval
+    loops, log-metric fetches, entropy sweeps) so a hung relay turns
+    into a ~20 s auto-resume from the rolling ``latest`` checkpoint
+    (scripts/train_auto_resume.sh) instead of a permanently stalled run.
+    ``os._exit`` because the stuck fetch holds arbitrary runtime locks —
+    a SystemExit raised on a timer thread would not unwind it.
+    """
+    timeout = _FETCH_TIMEOUT_S if timeout_s is None else timeout_s
+
+    def _wedged():
+        print(f"wedge_watchdog: {label} wedged >{timeout:g}s; "
+              "exiting 75 for auto-resume", file=sys.stderr, flush=True)
+        os._exit(75)
+
+    timer = threading.Timer(timeout, _wedged)
+    timer.daemon = True
+    timer.start()
+    try:
+        yield
+    finally:
+        timer.cancel()
+
 
 def _clean_stale_tmp(path: str) -> None:
     """Remove tmp dirs left by a previous hung/killed save at ``path``
@@ -46,19 +81,9 @@ def save_checkpoint(model_dir: str, name: str, state: Any,
     _clean_stale_tmp(path)
     timeout = _SAVE_TIMEOUT_S if timeout_s is None else timeout_s
 
-    def _wedged():
-        print(f"save_checkpoint: wedged >{timeout:g}s writing {path}; "
-              "exiting 75 for auto-resume", file=sys.stderr, flush=True)
-        os._exit(75)
-
-    watchdog = threading.Timer(timeout, _wedged)
-    watchdog.daemon = True
-    watchdog.start()
-    try:
+    with wedge_watchdog(f"save_checkpoint writing {path}", timeout):
         with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as ckptr:
             ckptr.save(path, args=ocp.args.StandardSave(state), force=True)
-    finally:
-        watchdog.cancel()
     return path
 
 

@@ -63,3 +63,36 @@ print("unreachable")
                        capture_output=True, text=True, timeout=120, env=env)
     assert r.returncode == 75, (r.returncode, r.stdout, r.stderr)
     assert "wedged" in r.stderr
+
+
+def test_wedge_watchdog_passthrough():
+    """A block that finishes in time runs unharmed and the timer dies."""
+    import threading
+
+    from semiuhpe_tpu.training.checkpoints import wedge_watchdog
+
+    before = threading.active_count()
+    with wedge_watchdog("fast block", timeout_s=30.0):
+        x = 1 + 1
+    assert x == 2
+    assert threading.active_count() <= before + 1  # timer cancelled
+
+
+def test_wedge_watchdog_exits_75():
+    """A wedged device-value fetch (the live round-4 failure: an eval
+    `Array.__array__` stuck forever through the relay) must hard-exit 75
+    so train_auto_resume.sh relaunches from `latest` instead of hanging."""
+    prog = """
+import threading
+from semiuhpe_tpu.training.checkpoints import wedge_watchdog
+
+with wedge_watchdog("stuck eval fetch", timeout_s=2.0):
+    threading.Event().wait()
+print("unreachable")
+"""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    r = subprocess.run([sys.executable, "-c", prog],
+                       capture_output=True, text=True, timeout=120, env=env)
+    assert r.returncode == 75, (r.returncode, r.stdout, r.stderr)
+    assert "stuck eval fetch wedged" in r.stderr
