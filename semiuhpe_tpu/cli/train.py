@@ -461,10 +461,16 @@ def main(argv=None):
 
     # ----- resume -----
     if config.cont_ckpt:
-        state = load_checkpoint(config.model_dir, config.resolve_ckpt(config.cont_ckpt),
-                                state)
-        state = replicate(mesh, state)
-        logger.line(f"resumed from {config.cont_ckpt} at iter {int(state.step)}")
+        # The step fetch here has wedged through the relay just like the
+        # eval fetches (train.py evaluate); watchdog the whole restore so
+        # a wedged resume retries via exit-75 instead of hanging forever.
+        with wedge_watchdog("resume restore/step fetch"):
+            state = load_checkpoint(config.model_dir,
+                                    config.resolve_ckpt(config.cont_ckpt),
+                                    state)
+            state = replicate(mesh, state)
+            start_step = int(state.step)
+        logger.line(f"resumed from {config.cont_ckpt} at iter {start_step}")
 
     best_mean_error = 360.0
     if config.cont_ckpt:
