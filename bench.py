@@ -219,22 +219,38 @@ def main():
                           "compile_s": round(time.time() - t0, 1)}))
         return
 
+    # Timed dispatch goes through the SAME ``lower().compile()`` AOT route
+    # as BENCH_COMPILE_ONLY cache warming by default (BENCH_AOT=0 reverts
+    # to plain jit dispatch).  Round-4 post-mortem: with non-default
+    # compiler_options the runtime jit dispatch MISSES the persistent-cache
+    # entry the AOT warm pass wrote (key divergence) and silently
+    # recompiles from scratch — the vmem64 timed run DNF'd at an 18-min cap
+    # that way while its executable sat warm in the cache.  Compiling the
+    # executable object explicitly and calling it guarantees the warm entry
+    # is the one used.
+    use_aot = os.environ.get("BENCH_AOT", "1") == "1"
+
     def attempt():
-        """One warm-up (compile) + one timed run.  State is donated, so
-        every attempt starts from a freshly materialized state (the
-        init program itself is compile-cached)."""
+        """One warm-up (compile/cache-load) + one timed run.  State is
+        donated, so every attempt starts from a freshly materialized state
+        (the init program itself is compile-cached)."""
         st = jax.jit(lambda k: create_train_state(
             net, k, (SIZE, SIZE, 3), 1e-4, jnp.bfloat16))(jax.random.key(0))
         st = replicate(mesh, st)
         t0 = time.time()
-        st, last = many_jit(st, jax.random.key(1), *flat_batches,
-                            n_rounds=n_rounds)
+        if use_aot:
+            compiled = many_jit.lower(st, jax.random.key(1), *flat_batches,
+                                      n_rounds=n_rounds).compile()
+            run = lambda s, k: compiled(s, k, *flat_batches)
+        else:
+            run = lambda s, k: many_jit(s, k, *flat_batches,
+                                        n_rounds=n_rounds)
+        st, last = run(st, jax.random.key(1))
         # value fetch: the only real sync on the axon relay
         last = float(last)
         compile_s = time.time() - t0
         t0 = time.time()
-        st, last = many_jit(st, jax.random.key(2), *flat_batches,
-                            n_rounds=n_rounds)
+        st, last = run(st, jax.random.key(2))
         last = float(last)
         dt = time.time() - t0
         assert np.isfinite(last), last

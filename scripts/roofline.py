@@ -158,6 +158,29 @@ def main():
     # ---- per-stage grouping (effinetv2-s trunk layout) ----------------
     def stage_of(path):
         seg = path.strip("/").split("/")[0]
+        if NET.startswith("effinet") and NET not in ("effinetv2",
+                                                     "effinetv2_s"):
+            # EfficientNet-v1 trunk (B4 default): MBConv_<i> grouped into
+            # the 7 compound-scaled stages (repeats (1,2,2,3,3,4,1) x
+            # depth_mult, models/efficientnet.py _BASE).
+            if seg.startswith("MBConv_"):
+                import math
+                wm, dm = __import__(
+                    "semiuhpe_tpu.models.efficientnet",
+                    fromlist=["_SCALES"])._SCALES[
+                        NET.split("_")[-1] if "_" in NET else "b4"]
+                reps = [math.ceil(dm * r) for r in (1, 2, 2, 3, 3, 4, 1)]
+                i = int(seg.split("_")[1])
+                for si, r in enumerate(reps):
+                    if i < r:
+                        return f"s{si + 1}"
+                    i -= r
+                return "s7"
+            if seg == "ConvBN_0":
+                return "stem"
+            if seg == "ConvBN_1":
+                return "head_conv"
+            return "head"
         if NET not in ("effinetv2", "effinetv2_s"):
             return seg
         if seg.startswith("FusedMBConv_"):

@@ -34,7 +34,8 @@ import optax
 from semiuhpe_tpu.ops import fisher, laplace, so3
 from semiuhpe_tpu.ops.augment import random_cutmix, random_cutout
 from semiuhpe_tpu.ops.views import make_views
-from semiuhpe_tpu.training.state import TrainState, make_optimizer
+from semiuhpe_tpu.training.state import (TrainState, apply_optimizer,
+                                          make_optimizer)
 
 # numpy (not jnp) so importing this module never initializes a backend.
 ROT_180 = np.diag([1.0, -1.0, -1.0]).astype(np.float32)
@@ -139,8 +140,8 @@ def make_supervised_step(net, lr: float, distribution: str = "matrixFisher",
 
         (loss, (out, pred_orth, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        params, opt_state = apply_optimizer(tx, grads, state.opt_state,
+                                            state.params)
         err = error_degrees(pred_orth, batch["rot_mat"], batch.get("euler_angles"))
         new_state = state.replace(step=state.step + 1, params=params,
                                   batch_stats=new_stats, opt_state=opt_state)
@@ -326,8 +327,8 @@ def make_ssl_step(
 
         (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         sup_loss, unsuper_loss, pred_orth, pred_strong, new_stats = aux
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        params, opt_state = apply_optimizer(tx, grads, state.opt_state,
+                                            state.params)
 
         metrics = {
             "loss": sup_loss,

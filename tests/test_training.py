@@ -367,3 +367,31 @@ class TestFlatOptimizer:
         up_f2, _ = tx_flat.update(g, s_flat2, state.params)
         leaf = jnp.abs(jax.tree_util.tree_leaves(up_f2)[0]).max()
         assert float(leaf) < 1.2e-4
+
+    def test_fused_adam_matches_optax(self, net, rng, monkeypatch):
+        """SEMIUHPE_FUSED_ADAM single-pass Adam (apply_optimizer) must match
+        the optax chain bit-for-bit-ish over multiple steps, including a
+        runtime LR change, and keep the opt_state layout identical."""
+        from semiuhpe_tpu.training.state import apply_optimizer, make_optimizer
+
+        state = jax.jit(lambda k: create_train_state(
+            net, k, (16, 16, 3), 1e-3))(jax.random.key(0))
+        tx = make_optimizer(1e-3)
+        p_a = p_b = state.params
+        s_a = s_b = tx.init(state.params)
+        for i in range(3):
+            if i == 2:  # stage-boundary x0.1 LR drop, train.py:104-109
+                s_a.hyperparams["learning_rate"] = jnp.float32(1e-4)
+                s_b.hyperparams["learning_rate"] = jnp.float32(1e-4)
+            g = jax.tree_util.tree_map(
+                lambda p: (0.1 + 0.01 * i) * jnp.sign(p) + 0.03, p_a)
+            monkeypatch.delenv("SEMIUHPE_FUSED_ADAM", raising=False)
+            p_a, s_a = apply_optimizer(tx, g, s_a, p_a)
+            monkeypatch.setenv("SEMIUHPE_FUSED_ADAM", "1")
+            p_b, s_b = apply_optimizer(tx, g, s_b, p_b)
+            assert (jax.tree_util.tree_structure(s_a)
+                    == jax.tree_util.tree_structure(s_b))
+            for a, b in zip(jax.tree_util.tree_leaves((p_a, s_a)),
+                            jax.tree_util.tree_leaves((p_b, s_b))):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=2e-6, atol=1e-7)
