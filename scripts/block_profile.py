@@ -250,12 +250,16 @@ def main():
                        bn_eps=1e-3)(s, train)
             return y + r
 
-    def mb(ch, hidden_ratio, se, drop):
+    def mb(ch, hidden_ratio, se, drop, act=nn.silu):
         return lambda: MBConv(ch, hidden_ratio, 3, 1, se_ratio=se,
-                              drop_rate=drop, dtype=dt_, bn_eps=1e-3)
+                              drop_rate=drop, activation=act, dtype=dt_,
+                              bn_eps=1e-3)
 
-    def fused(ch, ratio):
-        return lambda: FusedMBConv(ch, ratio, 3, 1, dtype=dt_, bn_eps=1e-3)
+    def fused(ch, ratio, act=nn.silu):
+        return lambda: FusedMBConv(ch, ratio, 3, 1, activation=act,
+                                   dtype=dt_, bn_eps=1e-3)
+
+    ident = lambda x: x
 
     # name -> (spatial, channels, module)
     VARIANTS = {
@@ -274,6 +278,20 @@ def main():
             lambda: MBConvPallas(128, 512, 32), 6)),
         # stage2 shapes: 56x56, 48ch, 4 layers (s1 versions)
         "s2_full":      (56, 48, Chain(fused(48, 4), 4)),
+        # --- round-5 s2/s5 residual attribution (VERDICT r4 #4): ablate
+        # one mechanism at a time against the roofline strategy estimate.
+        # silu cost on the 192 MB expanded tensors (the s1_decompose
+        # pattern that caught TinyViT's exact-erf GELU):
+        "s2_noact":     (56, 48, Chain(fused(48, 4, act=ident), 4)),
+        # channel-alignment twin: 64ch in/out (sublane-clean) at the same
+        # 192-hidden expanded tensor; +33% logical conv FLOPs, so equal
+        # or lower time means 48-ch padding waste dominates the residual:
+        "s2_ch64":      (56, 64, Chain(fused(64, 3), 4)),
+        # halo twin: same conv FLOPs and channels-per-pixel budget moved
+        # from 56px/48ch to 28px/96ch (4x fewer pixels, 2x channels both
+        # sides): isolates spatial-tiling/halo overhead from lane waste:
+        "s2_28px":      (28, 96, Chain(fused(96, 4), 4)),
+        "s5_noact":     (14, 160, Chain(mb(160, 6, 0.25, 0.0, act=ident), 9)),
         # no-BN twins: delta vs the BN versions = train-mode BN cost
         "s5_expproj_nobn": (14, 160, Chain(lambda: ExpandProjectNoBN(160, 960), 9)),
         "s2_nobn":      (56, 48, Chain(lambda: FusedNoBN(48, 192), 4)),

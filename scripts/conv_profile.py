@@ -60,7 +60,10 @@ def main():
     batch, ulb_batch = BATCH, BATCH * ULB_RATIO
     dt_ = jnp.bfloat16
 
-    net = build_network("effinetv2", dtype=dt_)
+    # teacher128/student_fwd/student_fwdbwd honor BENCH_NET (round 5: the
+    # effinet-B4 floor statement needs them at B4); trunkN stays
+    # effinetv2-only (Trunk hard-codes the S config).
+    net = build_network(os.environ.get("BENCH_NET", "effinetv2"), dtype=dt_)
     v = jax.jit(lambda: net.init(
         {"params": jax.random.key(0)},
         jnp.zeros((1, SIZE, SIZE, 3), dt_), train=False))()

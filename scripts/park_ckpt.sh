@@ -1,0 +1,35 @@
+#!/bin/bash
+# Checkpoint parking: periodically commit the newest rolling `latest`
+# checkpoint of a running experiment to git, so a host-VM recycle (which
+# restores only git-tracked files) loses at most one parking interval of
+# training (VERDICT r4 #5).  The park dir holds exactly ONE checkpoint
+# (rsync --delete); superseded parks remain reachable through git history
+# only, bounding working-tree size at one state (~340 MB for the 21M-param
+# nets) while each interval adds one state to the repo's object store.
+#
+# Usage: scripts/park_ckpt.sh <exp_dir/exp_name> <park_dir> [interval_s]
+# e.g.:  scripts/park_ckpt.sh exps_r5/ssl_224_tinyvit exps_r5/ckpt_park 4500
+set -u
+cd "$(dirname "$0")/.."
+SRC_ROOT=${1:?usage: park_ckpt.sh <exp_dir/exp_name> <park_dir> [interval_s]}
+PARK=${2:?park dir}
+INTERVAL=${3:-4500}
+
+last_step=""
+while :; do
+  sleep "$INTERVAL"
+  ckpt=$(ls -td "$SRC_ROOT"/*/*/model/latest 2>/dev/null | head -1)
+  [ -n "$ckpt" ] || continue
+  # Skip if unchanged (same orbax step file set).
+  step=$(ls "$ckpt" 2>/dev/null | sort | md5sum | cut -d' ' -f1)-$(stat -c %Y "$ckpt")
+  [ "$step" != "$last_step" ] || continue
+  mkdir -p "$PARK"
+  rsync -a --delete "$ckpt/" "$PARK/latest/" || continue
+  # Record where it came from so CONT= resumes land in a fresh run dir
+  # with the right clock.
+  echo "{\"src\": \"$ckpt\", \"parked_at\": \"$(date -Is)\"}" > "$PARK/meta.json"
+  git add -A "$PARK" >/dev/null 2>&1 \
+    && git commit -q -m "park: rolling checkpoint from $ckpt" \
+    && last_step="$step" \
+    && echo "parked $ckpt at $(date -Is)"
+done
