@@ -261,6 +261,13 @@ def main():
 
     ident = lambda x: x
 
+    def silu_tanh(x):
+        """Exact silu via tanh: x*sigmoid(x) == x*0.5*(1+tanh(x/2)) —
+        an identity, not an approximation.  Probes whether XLA's logistic
+        lowering is slower than its tanh path on the VPU (the erf-vs-tanh
+        GELU lesson, round 4)."""
+        return x * (0.5 * jnp.tanh(x * 0.5) + 0.5)
+
     # name -> (spatial, channels, module)
     VARIANTS = {
         # stage5 shapes: 14x14, 160ch, hidden 960, 9 layers
@@ -292,6 +299,11 @@ def main():
         # sides): isolates spatial-tiling/halo overhead from lane waste:
         "s2_28px":      (28, 96, Chain(fused(96, 4), 4)),
         "s5_noact":     (14, 160, Chain(mb(160, 6, 0.25, 0.0, act=ident), 9)),
+        # exact tanh-form silu (see silu_tanh): if this matches s5_noact,
+        # the 3.8 ms s5 silu cost is the logistic lowering, recoverable
+        # with zero numeric change:
+        "s5_silutanh":  (14, 160, Chain(mb(160, 6, 0.25, 0.0,
+                                           act=silu_tanh), 9)),
         # no-BN twins: delta vs the BN versions = train-mode BN cost
         "s5_expproj_nobn": (14, 160, Chain(lambda: ExpandProjectNoBN(160, 960), 9)),
         "s2_nobn":      (56, 48, Chain(lambda: FusedNoBN(48, 192), 4)),
