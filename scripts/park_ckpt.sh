@@ -24,7 +24,12 @@ while :; do
   step=$(ls "$ckpt" 2>/dev/null | sort | md5sum | cut -d' ' -f1)-$(stat -c %Y "$ckpt")
   [ "$step" != "$last_step" ] || continue
   mkdir -p "$PARK"
-  rsync -a --delete "$ckpt/" "$PARK/latest/" || continue
+  # Copy to a tmp dir then swap (no rsync in this image; the swap keeps
+  # the parked path always-complete even if the copy races a save).
+  rm -rf "$PARK/latest.tmp"
+  cp -a "$ckpt" "$PARK/latest.tmp" || continue
+  rm -rf "$PARK/latest"
+  mv "$PARK/latest.tmp" "$PARK/latest"
   # Record where it came from so CONT= resumes land in a fresh run dir
   # with the right clock.
   echo "{\"src\": \"$ckpt\", \"parked_at\": \"$(date -Is)\"}" > "$PARK/meta.json"
